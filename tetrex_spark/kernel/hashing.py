@@ -1,0 +1,189 @@
+"""Deterministic, vectorized 64-bit hashing shared by every sketch kernel.
+
+This is the analog of the reference's k-mer encoders
+(/root/reference/include/nucleotide_decomposer.h:81-101 packs DNA 2-bit,
+/root/reference/include/peptide_decomposer.h:261-291 packs AA 5-bit): a
+seeded, rolling-window-friendly map from variable-length byte strings to
+``uint64`` keys. We replace bit-packing (alphabet-bounded) with a
+polynomial hash over UTF-8 bytes finalized by splitmix64 — alphabet-free,
+vectorized with numpy/pyarrow, and *identical* on the build path (Arrow
+batches inside executors) and the query path (single shingles on the
+driver). Determinism across runs and parallelism levels is a hard
+requirement (byte-identical payload invariant).
+
+No Spark imports — unit-testable in milliseconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+U64 = np.uint64
+
+# Fixed constants — changing any of these invalidates existing sketch tables,
+# so they are recorded in the build manifest (see sources/sketch_store.py).
+DEFAULT_SEED = U64(42)
+_POLY_BASE = U64(0x9E3779B97F4A7C15)  # odd => invertible multiplier mod 2^64
+_LEN_MIX = U64(0xC2B2AE3D27D4EB4F)
+_GOLDEN = U64(0x9E3779B97F4A7C15)
+
+# Precomputed powers of the polynomial base; cycled for strings longer than
+# the table (still deterministic — position weights repeat mod table size).
+_POW_TABLE_SIZE = 4096
+_old = np.seterr(over="ignore")
+_POW = np.empty(_POW_TABLE_SIZE, dtype=U64)
+_POW[0] = U64(1)
+for _i in range(1, _POW_TABLE_SIZE):
+    _POW[_i] = _POW[_i - 1] * _POLY_BASE
+np.seterr(**_old)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=U64) + U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+        return z ^ (z >> U64(31))
+
+
+def _finalize(raw: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return splitmix64(raw ^ (lengths.astype(U64) * _LEN_MIX) ^ U64(seed))
+
+
+def hash_bytes_buffer(
+    data: np.ndarray, offsets: np.ndarray, seed: int = int(DEFAULT_SEED)
+) -> np.ndarray:
+    """Hash ``n`` variable-length byte strings stored contiguously.
+
+    ``data`` is a flat uint8 buffer; string ``i`` spans
+    ``data[offsets[i]:offsets[i+1]]``. Fully vectorized: per-byte positional
+    weights + ``np.add.reduceat`` segment sums + splitmix finalize.
+    """
+    offsets = offsets.astype(np.int64)
+    n = len(offsets) - 1
+    lengths = offsets[1:] - offsets[:-1]
+    if data.size == 0 or int(lengths.max(initial=0)) == 0:
+        return _finalize(np.zeros(n, dtype=U64), lengths, seed)
+    starts = np.repeat(offsets[:-1], lengths)
+    # data buffer may not start at offset 0 (arrow slices); normalize.
+    base = offsets[0]
+    idx = np.arange(base, offsets[-1], dtype=np.int64)
+    exp = (idx - starts) % _POW_TABLE_SIZE
+    with np.errstate(over="ignore"):
+        weighted = data[base : offsets[-1]].astype(U64) * _POW[exp]
+    raw = np.zeros(n, dtype=U64)
+    nz = lengths > 0
+    red_idx = (offsets[:-1] - base)[nz]
+    with np.errstate(over="ignore"):
+        sums = np.add.reduceat(weighted, red_idx)
+    raw[nz] = sums
+    return _finalize(raw, lengths, seed)
+
+
+def hash_str_series(s: pd.Series | list[str], seed: int = int(DEFAULT_SEED)) -> np.ndarray:
+    """Hash a pandas Series (or list) of strings to uint64, vectorized.
+
+    Uses the Arrow string buffer layout (offsets + contiguous UTF-8 data) so
+    there is no per-row Python. Nulls hash like empty strings.
+    """
+    arr = pa.array(pd.Series(s, dtype="object").fillna(""), type=pa.large_string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
+    databuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(databuf, dtype=np.uint8)
+        if databuf is not None and databuf.size
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return hash_bytes_buffer(data, offsets, seed)
+
+
+def hash_str(s: str, seed: int = int(DEFAULT_SEED)) -> int:
+    """Hash one string — the driver-side (query shingle) entry point.
+
+    Guaranteed equal to ``hash_str_series([s], seed)[0]`` (one code path).
+    """
+    return int(hash_str_series([s], seed)[0])
+
+
+def hash_char_kgrams(text: str, k: int, seed: int = int(DEFAULT_SEED)) -> np.ndarray:
+    """All length-k character windows of ``text`` → uint64, vectorized.
+
+    The analog of the reference's rolling k-mer hash
+    (/root/reference/include/nucleotide_decomposer.h:93-101) over web text:
+    a sliding window on the UTF-8 byte stream. Window ``i`` hashes exactly
+    like the standalone k-byte string, so driver-side probes of single
+    grams (``hash_str``) match build-side window hashes.
+
+    Note: windows are over *bytes*; for the ASCII-normalized text this
+    library produces, byte windows == character windows.
+    """
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = b.size - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=U64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(U64)
+    with np.errstate(over="ignore"):
+        raw = win @ _POW[:k]
+    return _finalize(raw, np.full(n, k, dtype=np.int64), seed)
+
+
+def hash_char_kgrams_series(
+    s: pd.Series, k: int, seed: int = int(DEFAULT_SEED)
+) -> tuple[np.ndarray, np.ndarray]:
+    """Char k-gram hashes for a whole Series at once.
+
+    Returns ``(hashes, doc_lengths_in_grams)`` where ``hashes`` is the
+    concatenation of per-document gram hashes (document i owns the slice
+    ``[cum[i-1]:cum[i]]``). One vectorized pass over the Arrow buffer —
+    no per-document Python loop.
+    """
+    arr = pa.array(pd.Series(s, dtype="object").fillna(""), type=pa.large_string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
+    databuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(databuf, dtype=np.uint8)
+        if databuf is not None and databuf.size
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lengths = offsets[1:] - offsets[:-1]
+    counts = np.maximum(lengths - k + 1, 0)
+    if data.size == 0 or counts.sum() == 0:
+        return np.zeros(0, dtype=U64), counts
+    base = offsets[0]
+    buf = data[base : offsets[-1]]
+    # Sliding windows over the *whole* buffer, then keep only windows fully
+    # inside one string: window at absolute position p is valid iff
+    # p >= start_i and p + k <= end_i for its string i.
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(U64)
+    with np.errstate(over="ignore"):
+        raw_all = win @ _POW[:k]
+    # valid window start positions per string, relative to buf
+    starts = offsets[:-1] - base
+    keep = np.concatenate(
+        [np.arange(st, st + c, dtype=np.int64) for st, c in zip(starts, counts) if c > 0]
+    )
+    raw = raw_all[keep]
+    return _finalize(raw, np.full(raw.size, k, dtype=np.int64), seed), counts
+
+
+def bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """Kirsch–Mitzenmacher double hashing: ``n_hashes`` positions per key.
+
+    Returns an ``(len(keys), n_hashes)`` int64 array of bit positions. The
+    analog of the reference's h hash functions per k-mer
+    (/root/reference/include/index_ibf.h:88-99, hash_count default 3 per
+    include/arg_parse.h:19).
+    """
+    keys = np.asarray(keys, dtype=U64)
+    h1 = splitmix64(keys)
+    with np.errstate(over="ignore"):
+        h2 = splitmix64(keys ^ _GOLDEN) | U64(1)
+        i = np.arange(n_hashes, dtype=U64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % U64(m_bits)
+    return pos.astype(np.int64)
