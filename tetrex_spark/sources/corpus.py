@@ -1,0 +1,160 @@
+"""Corpus sources: the canonical input shape, deterministic fixtures, and
+the adapter from the driver-provided `documents` table.
+
+Canonical corpus schema (BASELINE.json input_hint):
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Fixtures re-express the reference's golden test data in corpus shape
+(FIXTURES.md §2-4): motif_mini = test/data/file1.fa + file2.fa
+(/root/reference/test/cli/kbioreg_test.cpp:32-79), motif_split5 =
+data/dna_example_split (/root/reference/README.md:42-51), webtext_small =
+a skewed seeded web-text corpus with planted payloads. All generation is
+seed-42 deterministic; timestamps are fixed-epoch + row offset (no
+wall-clock anywhere).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+_EPOCH = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _rows(items):
+    return [
+        (url, _EPOCH + dt.timedelta(seconds=i), html, text, lang)
+        for i, (url, html, text, lang) in enumerate(items)
+    ]
+
+
+def motif_mini(spark: SparkSession) -> DataFrame:
+    """2 hosts / 4 docs — texts are the reference's file1.fa/file2.fa
+    records verbatim so its golden hit-set transfers exactly
+    (query 'AC+G' -> snippet1.1 'ACCG', snippet1.2 'ACG')."""
+    items = [
+        ("http://bin1.example/snippet1.1", None, "AACCGG", "en"),
+        ("http://bin1.example/snippet1.2", None, "AACGG", "en"),
+        ("http://bin2.example/snippet2.1", None, "AACCTT", "en"),
+        ("http://bin2.example/snippet2.2", None, "TTCCAA", "en"),
+    ]
+    return spark.createDataFrame(_rows(items), CORPUS_SCHEMA)
+
+
+def motif_split5(spark: SparkSession) -> DataFrame:
+    """5 hosts / 5 docs — the reference's dna_example_split corpus
+    (README.md:42-51); golden query 'A(C+|G+)T' hits s1, s2, s4."""
+    texts = [
+        "ACTGACTGACTGATCC",
+        "GTGACTGAGTGATTCG",
+        "AAAAAAACGATCGACA",
+        "CCCGTACCCTTGTGAA",
+        "CCCGTACCCGTGTGAA",
+    ]
+    items = [
+        (f"http://s{i + 1}.example/", None, t, "en") for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(_rows(items), CORPUS_SCHEMA)
+
+
+_WORDS = (
+    "the a spark join filter window merge sort agg scan table row column key "
+    "value data stream batch query group order part line customer hash small "
+    "big fast slow vector dup token index bloom shard"
+).split()
+
+
+def webtext_small(spark: SparkSession) -> DataFrame:
+    """8 hosts / 64 docs, skewed (h0 owns 32), seeded token soup with
+    planted payloads (FIXTURES.md §4):
+      - token shingle 'approximate membership query' in exactly 5 urls
+      - char motif 'w.{2}ld' (the word 'world') in exactly 2 urls
+      - token 'zyzzyva' exactly 37 times corpus-wide
+      - 4 docs with text=NULL + well-formed html (extraction path)
+      - 2 docs with lang='de'
+    """
+    rng = np.random.default_rng(42)
+    # host assignment: h0 gets 32 docs, h1..h7 split the rest
+    hosts = ["h0"] * 32 + [f"h{1 + i % 7}" for i in range(32)]
+    lengths = [int(x) for x in rng.integers(20, 220, size=64)]
+    docs = []
+    for i in range(64):
+        words = [ _WORDS[j] for j in rng.integers(0, len(_WORDS), size=lengths[i]) ]
+        docs.append(words)
+    # plant 'approximate membership query' in docs 3, 11, 19, 40, 59
+    for d in (3, 11, 19, 40, 59):
+        docs[d][5:5] = ["approximate", "membership", "query"]
+    # plant 'world' (motif w.{2}ld) in docs 7 and 44
+    for d in (7, 44):
+        docs[d].append("world")
+    # plant zyzzyva exactly 37 times spread deterministically
+    slots = rng.choice(64, size=37, replace=True)
+    for d in slots:
+        docs[int(d)].insert(0, "zyzzyva")
+    items = []
+    for i in range(64):
+        text = " ".join(docs[i])
+        lang = "de" if i in (13, 27) else "en"
+        if i in (2, 22, 42, 62):  # extraction path: text NULL, html carries it
+            html = ("<html><head><title>t</title></head><body><p>"
+                    + text + "</p></body></html>").encode()
+            items.append((f"http://{hosts[i]}.example/doc/{i}", html, None, lang))
+        else:
+            items.append((f"http://{hosts[i]}.example/doc/{i}", None, text, lang))
+    return spark.createDataFrame(_rows(items), CORPUS_SCHEMA)
+
+
+FIXTURES = {
+    "motif_mini": motif_mini,
+    "motif_split5": motif_split5,
+    "webtext_small": webtext_small,
+}
+
+
+# -- adapters ----------------------------------------------------------------
+
+
+def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver-provided documents table
+    (doc_id, text, lang, source, n_chars) to the corpus shape. url embeds
+    source + doc_id (host = source, so bin assignment keys on source)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id"))
+        .alias("url"),
+        (F.lit(_EPOCH) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def host_of_url(col):
+    """Host component of a url column (JVM-side, no UDF)."""
+    return F.parse_url(col, F.lit("HOST"))
+
+
+def with_bin_id(df: DataFrame, n_bins: int, bin_key=None) -> DataFrame:
+    """Assign each row to a bin — the analog of one-FASTA-file-per-bin
+    (/root/reference/include/index_base.h:26). Default key = host(url), so
+    a host's pages land in one bin (TetRex's 'which bin may match' unit of
+    retrieval becomes 'which host bucket may match').
+
+    JVM-side xxhash64 + pmod: deterministic across runs and parallelism.
+    """
+    key = bin_key if bin_key is not None else host_of_url(F.col("url"))
+    return df.withColumn("bin_id", F.pmod(F.xxhash64(key), F.lit(n_bins)).cast("int"))
