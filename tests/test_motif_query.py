@@ -1,0 +1,137 @@
+"""End-to-end motif queries on Spark: index build -> candidate bins ->
+pruned verify, checked for hit-set EQUALITY against a full-scan Python
+`re` oracle (FIXTURES.md §6) — the reference's correctness bar
+(test/cli/kbioreg_test.cpp golden hit-sets), exceeded with properties."""
+
+import re
+
+import pytest
+
+from tetrex_spark.functions.text import corpus_text_series
+from tetrex_spark.plans.planner import MotifIndex
+from tetrex_spark.sources.corpus import motif_mini, motif_split5, webtext_small
+
+
+def oracle_hits(pdf, pattern):
+    """(url, match, start, end) via plain re over every normalized doc."""
+    rx = re.compile(pattern, re.IGNORECASE)
+    out = set()
+    for url, doc in zip(pdf["url"], pdf["norm"]):
+        for m in rx.finditer(doc):
+            out.add((url, m.group(0), m.start(), m.end()))
+    return out
+
+
+def spark_hits(df):
+    return {(r["url"], r["match"], r["start"], r["end"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def mini(spark, tmp_path_factory):
+    corpus = motif_mini(spark)
+    path = str(tmp_path_factory.mktemp("idx_mini"))
+    idx = MotifIndex.build(corpus, path, n_bins=2, k=3)
+    pdf = corpus.toPandas()
+    pdf["norm"] = corpus_text_series(pdf["text"], pdf["html"])
+    return corpus, idx, pdf
+
+
+@pytest.fixture(scope="module")
+def split5(spark, tmp_path_factory):
+    corpus = motif_split5(spark)
+    path = str(tmp_path_factory.mktemp("idx_split5"))
+    idx = MotifIndex.build(corpus, path, n_bins=5, k=3)
+    pdf = corpus.toPandas()
+    pdf["norm"] = corpus_text_series(pdf["text"], pdf["html"])
+    return corpus, idx, pdf
+
+
+@pytest.fixture(scope="module")
+def webtext(spark, tmp_path_factory):
+    corpus = webtext_small(spark)
+    path = str(tmp_path_factory.mktemp("idx_web"))
+    idx = MotifIndex.build(corpus, path, n_bins=16, k=3)
+    pdf = corpus.toPandas()
+    pdf["norm"] = corpus_text_series(pdf["text"], pdf["html"])
+    return corpus, idx, pdf
+
+
+def test_reference_golden_acg(mini):
+    """kbioreg_test.cpp:71-79: 'AC+G' -> Snippet1.1 ACCG, Snippet1.2 ACG."""
+    corpus, idx, pdf = mini
+    hits = spark_hits(idx.query(corpus, "AC+G"))
+    assert hits == {
+        ("http://bin1.example/snippet1.1", "accg", 1, 5),
+        ("http://bin1.example/snippet1.2", "acg", 1, 4),
+    }
+    # candidate pruning really happened: bin2 excluded
+    cand = idx.candidate_bins("AC+G")
+    assert len(cand.bin_ids()) < 2 or not cand.full_scan
+
+
+def test_reference_golden_split5(split5):
+    """README.md:44-51: 'A(C+|G+)T' hits s1, s2, s4."""
+    corpus, idx, pdf = split5
+    hits = spark_hits(idx.query(corpus, "A(C+|G+)T"))
+    assert hits == oracle_hits(pdf, "a(c+|g+)t")
+    assert {u for (u, _, _, _) in hits} == {
+        "http://s1.example/",
+        "http://s2.example/",
+        "http://s4.example/",
+    }
+
+
+WEB_PATTERNS = [
+    "zyzzyva",
+    "wor",
+    "w.{2}ld",
+    "approximate membership query",
+    "filter (window|merge)",
+    "qu+ery",
+    "sp?ark",
+    "data .{0,5}stream",
+]
+
+
+@pytest.mark.parametrize("pattern", WEB_PATTERNS)
+def test_webtext_hit_set_equality(webtext, pattern):
+    corpus, idx, pdf = webtext
+    assert spark_hits(idx.query(corpus, pattern)) == oracle_hits(pdf, pattern)
+
+
+def test_webtext_candidate_superset_and_pruning(webtext):
+    corpus, idx, pdf = webtext
+    res = idx.candidate_bins("approximate membership query")
+    # superset of true bins
+    from tetrex_spark.sources.corpus import with_bin_id
+
+    binned = with_bin_id(corpus, 16).toPandas()
+    pdf2 = pdf.merge(binned[["url"]].assign(bin_id=binned["bin_id"]), on="url")
+    truth = set(pdf2[pdf2["norm"].str.contains("approximate membership query")]["bin_id"])
+    assert truth <= set(res.bin_ids())
+    # and it actually prunes (planted in 5 docs across <= 5 hosts of 16 bins)
+    assert len(res.bin_ids()) < 16
+
+
+def test_conjunctive_multi_motif(webtext):
+    corpus, idx, pdf = webtext
+    pats = ["zyzzyva", "filter"]
+    urls = {r["url"] for r in idx.query_all(corpus, pats).collect()}
+    truth = {
+        u
+        for u, d in zip(pdf["url"], pdf["norm"])
+        if all(re.search(p, d) for p in pats)
+    }
+    assert urls == truth
+
+
+def test_html_extraction_docs_are_searchable(webtext):
+    """Docs with text=NULL must be found via the html extraction path."""
+    corpus, idx, pdf = webtext
+    null_urls = set(pdf[pdf["text"].isna()]["url"])
+    assert null_urls
+    # pick a token present in one of the html docs
+    doc = pdf[pdf["text"].isna()].iloc[0]
+    token = doc["norm"].split()[1]
+    hits = {u for (u, _, _, _) in spark_hits(idx.query(corpus, token))}
+    assert doc["url"] in hits

@@ -1,0 +1,171 @@
+"""MotifIndex — the end-to-end query planner tying build, traversal and
+verification together. The Spark analog of `tetrex index` + `tetrex query`
+(/root/reference/src/main.cpp:36-59, src/query.cpp:375-498):
+
+  build:  corpus -> bin_id -> char-kgram Bloom per bin (sketch table +
+          manifest, including the observed corpus alphabet — the closed
+          alphabet TetRex gets for free from the 20-AA residue set).
+  query:  normalize + trim -> postfix -> NFA (bounded unroll) ->
+          traversal over the stacked Bloom matrix -> candidate bins ->
+          isin-pruned corpus scan -> Arrow-batched regex verify ->
+          (url, match, start, end) DataFrame.
+
+The traversal runs on the driver exactly as in TetRex — the Bloom matrix
+is tiny relative to the corpus (B x m bits), and this is the honest
+reading of 'per-partition Bloom bins' in the north star: the *corpus*
+never moves; only candidate bin ids cross back into the cluster as a
+pushed-down predicate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_query
+from ..operators.sketch_build import SketchSpec, build_sketches, max_bin_cardinality
+from ..operators.verify import prune_to_bins, verify_conjunctive, verify_regex
+from ..sources.corpus import with_bin_id
+from ..sources.sketch_store import (
+    BloomMatrix,
+    read_manifest,
+    write_sketch_table,
+)
+from ..kernel.bloom import bloom_m_bits
+from .nfa import compile_nfa
+from .rx import trim_regex
+from .traverse import TraversalResult, collect
+
+MOTIF_SKETCH_NAME = "char_bloom"
+
+
+def corpus_alphabet(corpus: DataFrame) -> str:
+    """Distinct characters of the normalized corpus — JVM-side aggregate
+    (explode on a char split; runs once at build time, stored in the
+    manifest). The query side expands '.' and negated classes over this
+    closed alphabet, which is what makes dot-expansion sound AND finite."""
+    norm = F.lower(F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8"), F.lit("")))
+    rows = (
+        corpus.select(F.explode(F.split(norm, "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    chars = {r["c"] for r in rows}
+    # normalization collapses all whitespace to single spaces
+    chars = {(" " if c.isspace() else c) for c in chars}
+    return "".join(sorted(chars))
+
+
+class MotifIndex:
+    """Built index handle: manifest + driver-side Bloom matrix."""
+
+    def __init__(self, bloom: BloomMatrix, manifest: dict, k: int, alphabet: str):
+        self.bloom = bloom
+        self.manifest = manifest
+        self.k = k
+        self.alphabet = alphabet
+
+    # -- build ---------------------------------------------------------------
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        path: str,
+        *,
+        n_bins: int = 64,
+        k: int = 3,
+        fpr: float = 0.05,
+        n_hashes: int = 3,
+        bin_key=None,
+    ) -> "MotifIndex":
+        """`tetrex index` analog. Sizes the filters to the largest bin
+        (include/index_ibf.h:133-139) via a JVM-only pre-pass."""
+        binned = with_bin_id(corpus, n_bins, bin_key=bin_key)
+        n_max = max_bin_cardinality(binned, "char_kgram", k)
+        m_bits = bloom_m_bits(n_max, fpr)
+        spec = SketchSpec(
+            MOTIF_SKETCH_NAME,
+            "bloom",
+            "char_kgram",
+            k=k,
+            params={"m_bits": m_bits, "n_hashes": n_hashes},
+        )
+        rows = build_sketches(binned, [spec])
+        alphabet = corpus_alphabet(corpus)
+        write_sketch_table(
+            rows,
+            path,
+            [spec],
+            n_bins,
+            extra={"k": k, "fpr": fpr, "alphabet": alphabet},
+        )
+        spark = corpus.sparkSession
+        return MotifIndex.load(spark, path)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "MotifIndex":
+        manifest = read_manifest(path)
+        bloom = BloomMatrix.load(spark, path, MOTIF_SKETCH_NAME)
+        return MotifIndex(bloom, manifest, manifest["k"], manifest["alphabet"])
+
+    # -- plan ----------------------------------------------------------------
+
+    def candidate_bins(self, pattern: str) -> TraversalResult:
+        """regex -> candidate bin vector (stages P7/P8 -> F1-F3 -> A5-A8)."""
+        trimmed = trim_regex(normalize_query(pattern))
+        if not trimmed:
+            ones = np.ones(self.bloom.n_bins, dtype=bool)
+            return TraversalResult(ones, 0, 0, True)
+        nfa = compile_nfa(trimmed, self.k, frozenset(self.alphabet))
+        return collect(nfa, self.bloom, self.k)
+
+    # -- execute ---------------------------------------------------------------
+
+    def query(
+        self,
+        corpus: DataFrame,
+        pattern: str,
+        *,
+        n_bins: int | None = None,
+        bin_key=None,
+    ) -> DataFrame:
+        """Full pipeline -> matches (url, match, start, end).
+
+        `corpus` may be the same DataFrame the index was built from or a
+        re-read of the same table; bin assignment is recomputed with the
+        same deterministic hash so ids line up."""
+        n_bins = n_bins or self.manifest["n_bins"]
+        res = self.candidate_bins(pattern)
+        binned = (
+            corpus
+            if "bin_id" in corpus.columns
+            else with_bin_id(corpus, n_bins, bin_key=bin_key)
+        )
+        pruned = prune_to_bins(binned, res.bin_ids(), n_bins)
+        return verify_regex(pruned, normalize_query(pattern))
+
+    def query_all(
+        self,
+        corpus: DataFrame,
+        patterns: list[str],
+        *,
+        n_bins: int | None = None,
+        bin_key=None,
+    ) -> DataFrame:
+        """Conjunctive multi-motif (A5 + F11): candidate vectors AND-ed
+        across queries (include/query.h:267), then one pruned scan where
+        every pattern must match."""
+        n_bins = n_bins or self.manifest["n_bins"]
+        vec = np.ones(self.bloom.n_bins, dtype=bool)
+        for p in patterns:
+            vec &= self.candidate_bins(p).bins
+        bin_ids = [int(i) for i in np.nonzero(vec)[0]]
+        binned = (
+            corpus
+            if "bin_id" in corpus.columns
+            else with_bin_id(corpus, n_bins, bin_key=bin_key)
+        )
+        pruned = prune_to_bins(binned, bin_ids, n_bins)
+        return verify_conjunctive(pruned, [normalize_query(p) for p in patterns])
