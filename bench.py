@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: "throughput" (docs/sec for the sketch build+merge — the
+north-rule metric) and "rows" (result sizes, as a drift canary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tetrex_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from tetrex_spark.operators.sketch_build import SketchSpec, build_sketches
+    from tetrex_spark.sources.corpus import documents_as_corpus, with_bin_id
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    n_docs = corpus.count()  # warms the JVM + file listing
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        rows[name] = int(fn())
+        times[name] = round(time.time() - t0, 3)
+
+    # 1. the north-rule headline: full 5-kind sketch build + merge
+    specs = [
+        SketchSpec("bloom", "bloom", "token_shingle", k=3,
+                   params={"m_bits": 1 << 18, "n_hashes": 3}),
+        SketchSpec("hll", "hll", "token_shingle", k=3, params={"p": 12}),
+        SketchSpec("cms", "cms", "token", k=1, params={"width": 2048, "depth": 5}),
+        SketchSpec("kll", "kll", "doc_length_tokens", params={"k": 200}),
+        SketchSpec("td", "tdigest", "doc_length_chars", params={"delta": 100.0}),
+    ]
+    binned = with_bin_id(corpus, 64)
+    timed("sketch_build_merge", lambda: build_sketches(binned, specs).count())
+
+    # 2. motif index build + queries (index cached across the 3 patterns)
+    t0 = time.time()
+    idx = entrymod._motif_index(spark, sf_dir)
+    times["motif_index_build"] = round(time.time() - t0, 3)
+    rows["motif_index_build"] = idx.bloom.n_bins
+    timed("motif_query", lambda: idx.query(corpus, entrymod.MOTIF_PATTERN).count())
+    timed(
+        "motif_conjunctive",
+        lambda: idx.query_all(corpus, entrymod.MOTIF_PATTERNS_CONJ).count(),
+    )
+
+    # 3. training-pipeline operators
+    for name in [
+        "exact_dedup",
+        "jaccard_pairs_lsh",
+        "token_stats",
+        "heavy_hitters_exact",
+        "distinct_shingles_by_lang",
+        "length_quantiles",
+        "ann_topk",
+        "embedding_near_dup",
+        "simhash_pairs",
+    ]:
+        fn = entrymod.queries()[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(times.values()), 3)
+    build_rate = round(n_docs / max(times["sketch_build_merge"], 1e-9), 1)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "throughput": {
+                    "sketch_build_merge_docs_per_sec": build_rate,
+                    "n_docs": n_docs,
+                },
+                "rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Dedup + similarity + analysis operators vs exact oracles computed in
+pandas/numpy on the same data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tetrex_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from tetrex_spark.operators.similarity import (
+    cosine_pairs_exact,
+    cosine_topk,
+    cosine_topk_batch,
+    hyperplane_lsh_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"
+        rows.append((i, " ".join(words)))
+    # plant exact dups and near-dups
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1]))
+    near = rows[5][1].split()
+    near[-1] = "tonight"
+    rows.append((102, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs).collect()
+    groups = {r["norm_text"]: (r["keep_id"], r["n_dups"]) for r in out}
+    dup_text = [r for r in docs.collect() if r["doc_id"] == 0][0]["text"]
+    assert groups[dup_text.lower()] == (0, 3)
+    assert sum(g[1] for g in groups.values()) == docs.count()
+
+
+def test_minhash_lsh_equals_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs_exact(docs, k=3, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.7).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert lsh == exact
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    # exact dups -> identical simhash
+    assert sh[0] == sh[100] == sh[101]
+    # near-dup (1 token changed) -> small hamming distance
+    d = bin(sh[5] ^ sh[102]).count("1")
+    assert d <= 12
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert (0, 100) in pairs and (0, 101) in pairs and (100, 101) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for j in range(5):
+            v = base[c] + rng.standard_normal(16) * 0.05  # tight clusters
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), rows
+
+
+def _cos(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, rows = vectors
+    q = rows[0][1]
+    got = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    scores = sorted(
+        ((_cos(q, r[1]), -r[0]) for r in rows), reverse=True
+    )
+    want = [-s[1] for s in scores[:5]]
+    assert got == want
+    # top-5 are the 5 cluster members
+    assert {rows[i][2] for i in got} == {rows[0][2]}
+
+
+def test_cosine_topk_batch_matches_single(vectors):
+    df, rows = vectors
+    queries = {0: rows[0][1], 37: rows[37][1]}
+    out = cosine_topk_batch(df, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, qv in queries.items():
+        single = [r["vec_id"] for r in cosine_topk(df, qv, k=5).collect()]
+        batch = [v for _, v in sorted(by_q[qid])]
+        assert batch == single
+
+
+def test_exact_cosine_pairs_vs_numpy(vectors):
+    df, rows = vectors
+    t = 0.9
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs_exact(df, t).collect()}
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if _cos(rows[i][1], rows[j][1]) >= t:
+                want.add((i, j))
+    assert got == want and len(want) > 50
+
+
+def test_hyperplane_lsh_recall_on_clusters(vectors):
+    """Planted tight clusters (cosine ~0.99): LSH blocking + exact verify
+    must recover every true pair above threshold (recall 1.0 here)."""
+    df, rows = vectors
+    t = 0.98
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if _cos(rows[i][1], rows[j][1]) >= t:
+                want.add((i, j))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_pairs(df, dim=16, threshold=t).collect()
+    }
+    assert want and got == want
+
+
+def test_analysis_stats(spark):
+    from tetrex_spark.functions.analysis import text_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick fox and the dog"),
+            (2, ""),
+            (3, "der und das ist nicht ein gut tag"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_stats(df).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["n_tokens"] == 0 and out[2]["lang_pred"] == "und"
+    assert out[3]["lang_pred"] == "de"
+    assert abs(out[1]["stopword_ratio"] - 3 / 6) < 1e-9
+
+
+def test_winnow_fingerprints_overlap(spark):
+    from tetrex_spark.functions.analysis import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["id"]: set(r["fingerprint"]) for r in winnow_fingerprints(df).collect()}
+    sim12 = len(fp[1] & fp[2]) / len(fp[1] | fp[2])
+    sim13 = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
+    assert sim12 > 0.5 > sim13

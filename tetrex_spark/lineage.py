@@ -1,0 +1,148 @@
+"""Checkpointed per-partition lineage + metrics — resumable sketch builds
+(explicit north-rule requirement; no analog in the reference, whose build
+is a single-process all-or-nothing cereal dump, index_base.h:181-187).
+
+Model: the corpus is sliced into `n_chunks` deterministic chunks
+(pmod(xxhash64(url), n_chunks) — stable across runs and parallelism).
+Each chunk's partial sketch rows are written to
+`<dir>/chunks/chunk=<i>/` (parquet write is atomic via _SUCCESS), then a
+lineage record (JSONL on the driver) commits the chunk with metrics.
+Resume = skip committed chunks; finalize = merge all chunk partials with
+the same associative merge the two-level tree uses, so a resumed build is
+byte-identical (lattice sketches) to a single-shot one — property-tested.
+
+At 100 TB: set n_chunks to the input's partition/file grain and store the
+corpus partitioned by the chunk key — each chunk scan is then partition-
+pruned instead of a filtered full pass; the lineage file lives on the
+shared FS. Chunk commits are idempotent: a re-run of a committed chunk
+overwrites the same path and re-commits the same content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.sketch_build import SKETCH_ROW_SCHEMA, SketchSpec, _merger, build_sketches
+
+LINEAGE_FILE = "lineage.jsonl"
+
+
+class CheckpointedBuild:
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        specs: list[SketchSpec],
+        *,
+        n_chunks: int = 16,
+        build_id: str = "build-0",
+    ):
+        self.dir = checkpoint_dir
+        self.specs = specs
+        self.n_chunks = n_chunks
+        self.build_id = build_id
+        os.makedirs(f"{self.dir}/chunks", exist_ok=True)
+
+    # -- lineage ----------------------------------------------------------
+
+    def _lineage_path(self) -> str:
+        return f"{self.dir}/{LINEAGE_FILE}"
+
+    def lineage(self) -> list[dict]:
+        if not os.path.exists(self._lineage_path()):
+            return []
+        with open(self._lineage_path()) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def committed_chunks(self) -> set[int]:
+        return {
+            r["chunk"]
+            for r in self.lineage()
+            if r["build_id"] == self.build_id and r["status"] == "committed"
+        }
+
+    def _commit(self, record: dict) -> None:
+        with open(self._lineage_path(), "a") as f:
+            f.write(json.dumps(record, sort_keys=True) + "\n")
+
+    # -- build ------------------------------------------------------------
+
+    def _chunk_filter(self, corpus: DataFrame, chunk: int):
+        return corpus.filter(
+            F.pmod(F.xxhash64(F.col("url")), F.lit(self.n_chunks)) == chunk
+        )
+
+    def run(self, corpus: DataFrame, *, resume: bool = True) -> DataFrame:
+        """Build (or resume) all chunks, then return the merged sketch
+        rows. Raises nothing on re-run of a finished build: all chunks
+        are already committed and only the final merge executes."""
+        if "bin_id" not in corpus.columns:
+            raise ValueError("corpus needs bin_id (sources.corpus.with_bin_id)")
+        done = self.committed_chunks() if resume else set()
+        for chunk in range(self.n_chunks):
+            if chunk in done:
+                continue
+            t0 = time.time()
+            part = build_sketches(self._chunk_filter(corpus, chunk), self.specs)
+            path = f"{self.dir}/chunks/chunk={chunk}"
+            part.write.mode("overwrite").parquet(path)
+            spark = corpus.sparkSession
+            stats = (
+                spark.read.parquet(path)
+                .groupBy("name")
+                .agg(
+                    F.count(F.lit(1)).alias("bins"),
+                    F.sum("n_items").alias("items"),
+                    F.max("n_items").alias("max_bin_items"),
+                )
+                .collect()
+            )
+            self._commit(
+                {
+                    "build_id": self.build_id,
+                    "chunk": chunk,
+                    "status": "committed",
+                    "duration_sec": round(time.time() - t0, 3),
+                    "metrics": {
+                        r["name"]: {
+                            "bins": r["bins"],
+                            "items": int(r["items"]),
+                            "max_bin_items": int(r["max_bin_items"]),
+                        }
+                        for r in stats
+                    },
+                }
+            )
+        return self.finalize(corpus.sparkSession)
+
+    def finalize(self, spark: SparkSession) -> DataFrame:
+        """Merge every committed chunk's partials -> final sketch rows."""
+        missing = set(range(self.n_chunks)) - self.committed_chunks()
+        if missing:
+            raise RuntimeError(f"cannot finalize: chunks {sorted(missing)} not committed")
+        all_parts = spark.read.parquet(f"{self.dir}/chunks")
+        return all_parts.select("bin_id", "name", "payload", "n_items").groupBy(
+            "bin_id", "name"
+        ).applyInPandas(_merger, SKETCH_ROW_SCHEMA)
+
+    def skew_report(self) -> dict:
+        """Per-spec max/total item ratio across chunks — the 'document
+        skew stats in lineage metrics' hook for salting decisions."""
+        out: dict[str, dict] = {}
+        for rec in self.lineage():
+            if rec["build_id"] != self.build_id or rec["status"] != "committed":
+                continue
+            for name, m in rec["metrics"].items():
+                agg = out.setdefault(
+                    name, {"items": 0, "max_bin_items": 0, "max_to_mean_ratio": 0.0}
+                )
+                agg["items"] += m["items"]
+                agg["max_bin_items"] = max(agg["max_bin_items"], m["max_bin_items"])
+                # within-chunk skew: hottest bin vs mean bin
+                ratio = m["max_bin_items"] * m["bins"] / max(m["items"], 1)
+                agg["max_to_mean_ratio"] = max(agg["max_to_mean_ratio"], round(ratio, 3))
+        return out

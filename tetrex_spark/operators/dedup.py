@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines — exact, MinHash
+LSH, SimHash, and exact n-gram Jaccard.
+
+Not present in the reference (TetRex answers membership, not similarity)
+but required by the graft: the same shingle machinery that feeds the
+Bloom index feeds these. Scale design:
+
+  - candidate generation is 100% JVM expressions (split / transform /
+    xxhash64 / min-agg): whole-stage-codegen, no Python in the hot path;
+  - the only O(corpus) shuffles are groupBy(doc) over shingle hashes
+    (map-side combined) and the band-bucket self-join, whose build side
+    is (doc, band_hash) rows — tiny next to the corpus;
+  - exact Jaccard verification touches only LSH candidate pairs, which
+    is the filter-then-verify architecture of the reference
+    (include/query.h:265-281) transplanted to similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NORM = "lower(trim(regexp_replace({c}, '\\\\s+', ' ')))"
+
+
+def norm_col(c: str):
+    """JVM-side normalization, equal to functions.text.normalize_series
+    for already-single-spaced input (tested for agreement)."""
+    return F.expr(NORM.format(c=c))
+
+
+def tokens_col(c: str):
+    return F.split(norm_col(c), " ")
+
+
+def shingles_col(c: str, k: int):
+    """Array of token k-shingle strings (JVM transform over slice)."""
+    toks = tokens_col(c)
+    return F.when(
+        F.size(toks) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text with
+    the kept (minimum) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), norm_col(text_col).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# -- exact n-gram jaccard (the oracle-able base) ---------------------------
+
+
+def jaccard_pairs_exact(
+    df: DataFrame, k: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs exact k-shingle Jaccard >= threshold via a shingle
+    equi-join (scales as sum of shingle-bucket squares — use the LSH
+    variant for big corpora; this one is the correctness oracle)."""
+    ds = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("g"))
+        .distinct()
+    )
+    sizes = ds.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- minhash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 3, num_perm: int = 64,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, m0..m{P-1}) minhash signature — P independent hashes derived
+    JVM-side as xxhash64(perm_index, shingle_hash); min per doc is a
+    map-side-combined agg, so the shuffle carries P longs per doc."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, k)).alias("g"),
+    ).select("id", F.xxhash64("g").alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, k: int = 3, num_perm: int = 64, bands: int = 16,
+    threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
+
+    bands x rows = num_perm; a pair collides in some band w.p.
+    1-(1-j^r)^b — at the default (16x4, t=0.8) recall for j>=0.8 is
+    > 0.9998, and the exact verify removes all false positives, so the
+    output equals the exact all-pairs result with overwhelming
+    (deterministic-given-seed) probability."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sig = minhash_signatures(df, k, num_perm, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on candidates only (filter-then-verify)
+    ds = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("g"))
+        .distinct()
+    )
+    sizes = ds.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(ds.alias("p"), F.col("p.id") == F.col("id_a"))
+        .join(ds.alias("q"), (F.col("q.id") == F.col("id_b")) & (F.col("q.g") == F.col("p.g")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash of token hashes (Charikar 2002), vectorized numpy
+    inside mapInPandas: unpack token-hash bits -> signed column sums ->
+    sign -> fingerprint."""
+    from ..functions.text import normalize_series, token_shingle_hashes_series
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = normalize_series(pdf[text_col])
+            hashes, counts = token_shingle_hashes_series(text, 1)
+            bits = np.unpackbits(
+                hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)  # (n_tokens, 64)
+            signed = 2 * bits - 1
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            off = 0
+            for i, c in enumerate(counts):
+                if c > 0:
+                    s = signed[off : off + c].sum(axis=0)
+                    out[i] = np.packbits(
+                        (s > 0).astype(np.uint8), bitorder="little"
+                    ).view(np.uint64)[0]
+                off += c
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "simhash": out.view(np.int64)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, _SIMHASH_SCHEMA)
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidate pairs with hamming(simhash) <= max_hamming via
+    4x16-bit band exact-match blocking + bit_count verify (both JVM)."""
+    sh = simhash(df, text_col, id_col)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+        )
+        for b in range(4)
+    ]
+    buckets = sh.select("id", "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,243 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure JVM expressions for
+small query sets; Arrow-batched BLAS matmul for fleets of queries), and a
+random-hyperplane LSH-bucketed variant as the 100 TB scale path — the
+same filter-then-verify shape as the Bloom/motif pipeline: cheap
+approximate blocking, exact scoring only on candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot_expr(col, vec: list[float]):
+    """JVM dot product of an array<float> column with a literal vector
+    (zip_with + aggregate fold — sequential sum, bit-compatible with
+    DuckDB's list_dot_product for oracle comparisons)."""
+    lit = F.array(*[F.lit(float(v)) for v in vec])
+    return F.aggregate(
+        F.zip_with(col.cast("array<double>"), lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for ONE query vector — entirely
+    JVM-side; Catalyst turns the limit into TakeOrderedAndProject (a
+    per-partition top-k + driver merge: no full sort, no shuffle of the
+    corpus)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    out = df.select(
+        F.col(id_col),
+        (_dot_expr(F.col(vec_col), list(q)) / (norm_expr(F.col(vec_col)) * F.lit(qn)))
+        .alias("cosine"),
+    )
+    return out.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k for a fleet of queries: broadcast the query matrix, numpy
+    matmul per Arrow batch (partial top-k per partition), then a global
+    window rank over Q x partitions x k rows only."""
+    qids = sorted(queries)
+    Q = np.asarray([queries[i] for i in qids], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            scores = Qn @ Mn.T  # (Q, n)
+            ids = pdf[id_col].to_numpy()
+            top = min(k, scores.shape[1])
+            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            rows = {"query_id": [], id_col: [], "cosine": []}
+            for qi, qid in enumerate(qids):
+                rows["query_id"].extend([qid] * top)
+                rows[id_col].extend(ids[part[qi]])
+                rows["cosine"].extend(scores[qi, part[qi]])
+            yield pd.DataFrame(rows)
+
+    partials = df.select(id_col, vec_col).mapInPandas(fn, schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via broadcast matmul: the full
+    (normalized) matrix is broadcast once, each Arrow batch multiplies
+    against it with BLAS and emits only surviving (id_a < id_b) pairs.
+    O(n^2) work but O(n·d) shuffle — right up to ~1e6 rows; beyond that
+    use hyperplane_lsh_pairs (blocking) instead."""
+    rows = df.select(id_col, vec_col).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError("too many rows for exact all-pairs; use the LSH variant")
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(Mn)
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_m = b_ids.value, b_m.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            xid = pdf[id_col].to_numpy(dtype=np.int64)
+            S = Xn @ all_m.T  # (batch, n)
+            bi, bj = np.nonzero((S >= threshold) & (xid[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": xid[bi], "id_b": all_ids[bj], "cosine": S[bi, bj]}
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(fn, schema)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: random-hyperplane signature
+    (vectorized matmul) -> bucket equi-join -> exact cosine verify.
+
+    P(same bucket | angle θ) = (1 - θ/π)^n_planes per band; recall over
+    b bands is 1-(1-p)^b — blocking is probabilistic (tunable via
+    n_bands; default 8 gives ~0.999+ recall for cosine >= 0.95), and the
+    exact cosine verify keeps precision at 1."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands, n_planes, dim))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("sig", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            out = {id_col: [], "band": [], "sig": []}
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            for b in range(n_bands):
+                bits = (M @ planes[b].T) > 0  # (n, n_planes)
+                sig = (bits.astype(np.int64) * weights).sum(axis=1)
+                out[id_col].extend(ids)
+                out["band"].extend([b] * len(ids))
+                out["sig"].extend(sig)
+            yield pd.DataFrame(out)
+
+    buckets = df.select(id_col, vec_col).mapInPandas(fn, schema)
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    lhs = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    rhs = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va").cast("array<double>"),
+            F.col("vb").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(lhs, "id_a")
+        .join(rhs, "id_b")
+        .withColumn("cosine", dot / (norm_expr(F.col("va")) * norm_expr(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
