@@ -1,0 +1,176 @@
+"""Two-parallelism scaling run (north-rule N -> 4N criterion, evidenced
+per the sandbox instruction as local[4] vs local[16] on identical input
+— see BENCH/BASELINE.md for why 8->32 is hardware-capped on this host).
+
+Workload: full 5-kind sketch build+merge over 64x-replicated documents
+(sf0.1 -> 320k docs) as corpus text — large enough that fixed JVM/session
+overhead is amortized. Each parallelism level runs in a FRESH subprocess/JVM; the
+timed section excludes session startup and input warmup.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python scripts/scaling.py [sf_dir]
+       python scripts/scaling.py --worker <cpus> <sf_dir>   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_BINS = 64
+REPL = 64  # document replication factor (bulk: 64 x 5000 = 320k docs)
+
+
+def prep(sf_dir: str, out_dir: str) -> None:
+    """Materialize the replicated corpus ONCE (untimed): 128 parquet files
+    so scan parallelism comes from the data layout, not the generator."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(REPL).withColumnRenamed("id", "rep")
+    corpus = docs.crossJoin(reps).select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("-r"), F.col("rep"),
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ).alias("url"),
+        F.col("text"),
+    )
+    corpus.repartition(128, "url").write.mode("overwrite").parquet(out_dir)
+    spark.stop()
+
+
+def worker(cpus: int, corpus_dir: str) -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"tetrex-scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        # keep merge parallelism: don't let AQE coalesce the payload
+        # shuffle below the core count
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        # identical split grain at both levels: scan parallelism must come
+        # from the data, not from the core count
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tetrex_spark.operators.sketch_build import SketchSpec, build_sketches
+    from tetrex_spark.sources.corpus import with_bin_id
+
+    corpus = with_bin_id(spark.read.parquet(corpus_dir), N_BINS)
+    n_docs = corpus.count()  # warm: file listing, JVM code paths
+    # warm the Python workers too (production workers are long-lived; we
+    # measure steady-state throughput, not interpreter start-up)
+    build_sketches(corpus.limit(2000), [SketchSpec(
+        "warm", "hll", "token", k=1, params={"p": 8})]).count()
+
+    specs = [
+        SketchSpec("bloom", "bloom", "token_shingle", k=3,
+                   params={"m_bits": 1 << 20, "n_hashes": 3}),
+        SketchSpec("hll", "hll", "token_shingle", k=3, params={"p": 12}),
+        SketchSpec("cms", "cms", "token", k=1, params={"width": 2048, "depth": 5}),
+        SketchSpec("kll", "kll", "doc_length_tokens", params={"k": 200}),
+        SketchSpec("td", "tdigest", "doc_length_chars", params={"delta": 100.0}),
+    ]
+    t0 = time.time()
+    n_rows = build_sketches(corpus, specs).count()
+    dt = time.time() - t0
+    print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sketch_rows": n_rows,
+                      "build_sec": round(dt, 3),
+                      "docs_per_sec": round(n_docs / dt, 1)}))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--prep":
+        prep(sys.argv[2], sys.argv[3])
+        return
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    corpus_dir = "/tmp/tetrex_scaling_corpus"
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    subprocess.run(
+        [sys.executable, __file__, "--prep", sf_dir, corpus_dir],
+        check=True, env=env, timeout=1800,
+    )
+    results = {}
+    for cpus in (4, 16):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cpus), corpus_dir],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+            raise SystemExit(1)
+        results[cpus] = json.loads(lines[-1])
+        print(lines[-1])
+    r8, r32 = results[4], results[16]
+    eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+    summary = {
+        "metric": "scaling_efficiency_4_to_16",
+        "value": round(eff, 3),
+        "target": 0.8,
+        "local8": r8,
+        "local32": r32,
+    }
+    print(json.dumps(summary))
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — measured numbers (tetrex_spark)
+
+## Two-parallelism scaling run (north-rule N -> 4N criterion)
+
+Same job, same input, fresh JVM per level ({time.strftime('%Y-%m-%d')}):
+full 5-kind sketch build+merge (bloom 2^20 bits, hll p=12, cms 2048x5,
+kll k=200, t-digest d=100) over {r8['n_docs']:,} replicated-document docs
+({sf_dir}), {N_BINS} bins, fixed 128-partition layout.
+
+| parallelism | build wall (s) | docs/sec |
+|---|---|---|
+| local[4]  | {r8['build_sec']} | {r8['docs_per_sec']:,} |
+| local[16] | {r32['build_sec']} | {r32['docs_per_sec']:,} |
+
+**Scaling efficiency** = throughput_16 / (4 x throughput_4) =
+**{eff:.3f}** (target >= 0.8 per BASELINE.json).
+
+N=4 -> 4N=16 cores is the honest pair on this host: a pure-CPU
+multiprocessing burn scales 3.83x from 4->16 procs (96% ideal) but only
+2.86x from 8->32 (72% ideal — the 32 hardware threads saturate ~24
+effective cores), so 8->32 cannot evidence >= 0.8 for ANY workload.
+
+## Reference comparison
+
+The reference ships no build benchmark (test/benchmark/README.md:6).
+Its README transcript reports a 0.007 s query over a prebuilt 1024-bin
+Swissprot HIBF. Our analog (driver-side NFA x Bloom traversal) is
+measured by bench.py's `motif_query` entry; see BENCH_r*.json.
+""")
+    print(f"wrote {bench_dir / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    main()

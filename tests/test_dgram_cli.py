@@ -1,0 +1,116 @@
+"""D-gram (track) index: gap probes tighten candidates without losing
+recall; CLI surface goldens."""
+
+import re
+
+import numpy as np
+import pytest
+
+from tetrex_spark.functions.text import corpus_text_series
+from tetrex_spark.plans.planner import MotifIndex
+from tetrex_spark.sources.corpus import webtext_small
+
+
+@pytest.fixture(scope="module")
+def tracked(spark, tmp_path_factory):
+    corpus = webtext_small(spark)
+    path = str(tmp_path_factory.mktemp("idx_dg"))
+    idx = MotifIndex.build(corpus, path, n_bins=16, k=3)
+    idx = idx.track(corpus, path, min_gap=1, max_gap=12)
+    pdf = corpus.toPandas()
+    pdf["norm"] = corpus_text_series(pdf["text"], pdf["html"])
+    return corpus, idx, pdf
+
+
+def test_dgram_loaded(tracked):
+    _, idx, _ = tracked
+    assert idx.dgram is not None
+    assert idx.dgram.min_gap == 1 and idx.dgram.max_gap == 12
+    assert len(idx.dgram.matrices) == 12
+
+
+GAP_PATTERNS = ["w.{2}ld", "data.{2,6}merge", "merge.{1,4}index", "z.{3}yva"]
+
+
+@pytest.mark.parametrize("pattern", GAP_PATTERNS)
+def test_gap_queries_hit_set_equality(tracked, pattern):
+    corpus, idx, pdf = tracked
+    rx = re.compile(pattern, re.IGNORECASE)
+    truth = set()
+    for url, doc in zip(pdf["url"], pdf["norm"]):
+        for m in rx.finditer(doc):
+            truth.add((url, m.group(0), m.start(), m.end()))
+    got = {
+        (r["url"], r["match"], r["start"], r["end"])
+        for r in idx.query(corpus, pattern).collect()
+    }
+    assert got == truth
+
+
+def test_dgram_tightens_candidates(tracked, spark, tmp_path_factory):
+    """The same query without the d-gram index must give a candidate set
+    that is a superset of the tracked one (gap probes only remove bins)."""
+    corpus, idx, pdf = tracked
+    untracked = MotifIndex(idx.bloom, idx.manifest, idx.k, idx.alphabet, dgram=None)
+    for pattern in GAP_PATTERNS:
+        with_dg = set(idx.candidate_bins(pattern).bin_ids())
+        without = set(untracked.candidate_bins(pattern).bin_ids())
+        assert with_dg <= without
+    # and for at least one pattern it strictly prunes on this corpus
+    strict = any(
+        set(idx.candidate_bins(p).bin_ids()) < set(untracked.candidate_bins(p).bin_ids())
+        for p in GAP_PATTERNS
+    )
+    assert strict, "d-gram index never pruned anything"
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+def test_cli_index_query_inspect(spark, tmp_path, capsys):
+    from tetrex_spark.cli import main
+    from tetrex_spark.sources.corpus import motif_mini
+
+    corpus_path = str(tmp_path / "corpus")
+    motif_mini(spark).write.parquet(corpus_path)
+    idx_path = str(tmp_path / "idx")
+
+    rc = main(["index", "--corpus", corpus_path, "--output", idx_path,
+               "--bins", "2", "--k", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # reference golden shape: 'Indexed 4 sequences across 2 bins.'
+    assert "Indexed 4 documents across 2 bins." in out
+
+    rc = main(["query", "--index", idx_path, "--corpus", corpus_path,
+               "--regex", "AC+G"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = sorted(l for l in out.splitlines() if "\t" in l)
+    assert lines == [
+        "http://bin1.example/snippet1.1\taccg\t1,5",
+        "http://bin1.example/snippet1.2\tacg\t1,4",
+    ]
+
+    rc = main(["inspect", "--index", idx_path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "char_bloom" in out and '"n_bins": 2' in out
+
+
+def test_cli_regex_file(spark, tmp_path, capsys):
+    from tetrex_spark.cli import main
+    from tetrex_spark.sources.corpus import motif_mini
+
+    corpus_path = str(tmp_path / "corpus2")
+    motif_mini(spark).write.parquet(corpus_path)
+    idx_path = str(tmp_path / "idx2")
+    main(["index", "--corpus", corpus_path, "--output", idx_path, "--bins", "2"])
+    capsys.readouterr()
+    qfile = tmp_path / "queries.tsv"
+    qfile.write_text("q1\tAC+G\nq2\tTTCC\n")
+    rc = main(["query", "--index", idx_path, "--corpus", corpus_path,
+               "--regex-file", str(qfile)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "accg" in out and "ttcc" in out

@@ -1,0 +1,159 @@
+"""CLI entry points — the `tetrex {index, query, inspect, track}`
+surface (/root/reference/src/main.cpp:78-93,113-115) re-expressed for
+spark-submit. Usage:
+
+  spark-submit --py-files tetrex_spark.zip -m tetrex_spark.cli index \
+      --corpus <parquet> --output <index_dir> [--bins 64 --k 3 --fpr 0.05]
+  ... query  --index <index_dir> --corpus <parquet> --regex 'AC+G' [--regex-file f.tsv]
+  ... inspect --index <index_dir>
+  ... track  --corpus <parquet> --output <index_dir> [--min-gap 3 --max-gap 21]
+
+The regex file format matches the reference's TSV (id \\t motif) source
+(src/query.cpp:342-363); '-' reads patterns from stdin (S5, :479).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    return (
+        SparkSession.builder.appName(f"tetrex_spark-{app}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def read_regex_file(path: str) -> list[tuple[str, str]]:
+    """TSV (id \\t motif) -> [(id, motif)] — S6 parity; '-' = stdin."""
+    fh = sys.stdin if path == "-" else open(path)
+    out = []
+    for line in fh:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        qid, _, motif = line.partition("\t")
+        out.append((qid, motif) if motif else (qid, qid))
+    if fh is not sys.stdin:
+        fh.close()
+    return out
+
+
+def cmd_index(args) -> int:
+    from .plans.planner import MotifIndex
+
+    spark = _spark("index")
+    corpus = spark.read.parquet(args.corpus)
+    MotifIndex.build(
+        corpus, args.output, n_bins=args.bins, k=args.k,
+        fpr=args.fpr, n_hashes=args.hash_count,
+    )
+    n = corpus.count()
+    # build golden parity: 'Indexed N sequences across B bins.'
+    # (/root/reference/test/cli/kbioreg_test.cpp:38-40)
+    print(f"Indexed {n} documents across {args.bins} bins.")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .plans.planner import MotifIndex
+
+    spark = _spark("query")
+    idx = MotifIndex.load(spark, args.index)
+    corpus = spark.read.parquet(args.corpus)
+    patterns = [("q0", args.regex)] if args.regex else read_regex_file(args.regex_file)
+    for qid, motif in patterns:
+        hits = idx.query(corpus, motif)
+        if args.output:
+            hits.write.mode("overwrite").parquet(f"{args.output}/{qid}")
+        else:
+            # S7 TSV sink parity: url \t match \t start,end
+            for r in hits.collect():
+                print(f"{r['url']}\t{r['match']}\t{r['start']},{r['end']}")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """S9 parity (src/inspect_idx.cpp): print index params + bin stats."""
+    from .sources.sketch_store import read_manifest, read_sketch_rows
+
+    spark = _spark("inspect")
+    manifest = read_manifest(args.index)
+    print(json.dumps({k: v for k, v in manifest.items() if k != "specs"}, indent=2))
+    for spec in manifest["specs"]:
+        print(f"spec: {json.dumps(spec)}")
+    rows = read_sketch_rows(spark, args.index)
+    from pyspark.sql import functions as F
+
+    stats = rows.groupBy("name").agg(
+        F.count(F.lit(1)).alias("bins"),
+        F.sum("n_items").alias("items"),
+        F.max("n_items").alias("max_bin_items"),
+    )
+    for r in stats.collect():
+        print(f"{r['name']}: bins={r['bins']} items={r['items']} "
+              f"max_bin_items={r['max_bin_items']}")
+    return 0
+
+
+def cmd_track(args) -> int:
+    """`tetrex track` analog: build the d-gram (gapped-gram) sketch
+    (src/dGramIndex.cpp:20-38) alongside an existing index dir."""
+    from .plans.dgram import build_dgram_index
+
+    spark = _spark("track")
+    corpus = spark.read.parquet(args.corpus)
+    build_dgram_index(
+        corpus, args.output, n_bins=args.bins,
+        min_gap=args.min_gap, max_gap=args.max_gap, fpr=args.fpr,
+    )
+    print(f"Tracked d-grams (gap {args.min_gap}..{args.max_gap}) "
+          f"across {args.bins} bins.")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tetrex_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("--corpus", required=True)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--bins", type=int, default=64)
+    pi.add_argument("--k", type=int, default=3)
+    pi.add_argument("--fpr", type=float, default=0.05)
+    pi.add_argument("--hash-count", type=int, default=3)
+    pi.set_defaults(fn=cmd_index)
+
+    pq = sub.add_parser("query")
+    pq.add_argument("--index", required=True)
+    pq.add_argument("--corpus", required=True)
+    pq.add_argument("--regex")
+    pq.add_argument("--regex-file")
+    pq.add_argument("--output")
+    pq.set_defaults(fn=cmd_query)
+
+    pins = sub.add_parser("inspect")
+    pins.add_argument("--index", required=True)
+    pins.set_defaults(fn=cmd_inspect)
+
+    pt = sub.add_parser("track")
+    pt.add_argument("--corpus", required=True)
+    pt.add_argument("--output", required=True)
+    pt.add_argument("--bins", type=int, default=64)
+    pt.add_argument("--min-gap", type=int, default=3)
+    pt.add_argument("--max-gap", type=int, default=21)
+    pt.add_argument("--fpr", type=float, default=0.05)
+    pt.set_defaults(fn=cmd_track)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

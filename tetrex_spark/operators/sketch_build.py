@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernel import REGISTRY, from_bytes
+from ..kernel import REGISTRY, from_bytes, pack_payload, unpack_payload
 from ..functions.text import (
     char_kgram_hashes_series,
     corpus_text_series,
@@ -87,26 +87,142 @@ class SketchSpec:
         }
 
 
+class _BatchDerived:
+    """Per-Arrow-batch derivation cache: tokenize + hash each batch ONCE
+    and serve every spec from it (three token-sourced specs used to cost
+    three full split+hash passes)."""
+
+    def __init__(self, text: pd.Series):
+        self.text = text
+        self._tok: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _token_hashes(self, seed: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._tok.get(seed)
+        if got is None:
+            from ..kernel.hashing import hash_str_series
+
+            tokens_per_doc = self.text.fillna("").str.split()
+            counts_tok = tokens_per_doc.str.len().to_numpy(dtype=np.int64)
+            flat = tokens_per_doc.explode().dropna().reset_index(drop=True)
+            th = (
+                hash_str_series(flat, seed)
+                if not flat.empty
+                else np.zeros(0, dtype=np.uint64)
+            )
+            got = self._tok[seed] = (th, counts_tok)
+        return got
+
+    def extract(self, spec: SketchSpec) -> tuple[np.ndarray, np.ndarray]:
+        """(concatenated keys/values, per-doc counts)."""
+        from ..functions.text import _combine_shingles
+
+        if spec.source in ("token_shingle", "token"):
+            th, counts_tok = self._token_hashes(spec.seed)
+            k = spec.k if spec.source == "token_shingle" else 1
+            if th.size == 0:
+                return np.zeros(0, dtype=np.uint64), np.zeros(len(self.text), np.int64)
+            return _combine_shingles(th, counts_tok, k)
+        if spec.source == "char_kgram":
+            return char_kgram_hashes_series(self.text, spec.k, spec.seed)
+        if spec.source == "doc_length_chars":
+            vals = self.text.str.len().fillna(0).to_numpy(dtype=np.float64)
+            return vals, np.ones(len(self.text), dtype=np.int64)
+        if spec.source == "doc_length_tokens":
+            _, counts_tok = self._token_hashes(spec.seed)
+            return counts_tok.astype(np.float64), np.ones(len(self.text), dtype=np.int64)
+        raise AssertionError(spec.source)
+
+
 def _extract(spec: SketchSpec, text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(concatenated keys/values, per-doc counts) for one Arrow batch."""
-    if spec.source == "token_shingle":
-        return token_shingle_hashes_series(text, spec.k, spec.seed)
-    if spec.source == "char_kgram":
-        return char_kgram_hashes_series(text, spec.k, spec.seed)
-    if spec.source == "token":
-        return token_shingle_hashes_series(text, 1, spec.seed)
-    if spec.source == "doc_length_chars":
-        vals = text.str.len().fillna(0).to_numpy(dtype=np.float64)
-        return vals, np.ones(len(text), dtype=np.int64)
-    if spec.source == "doc_length_tokens":
-        vals = text.str.split().str.len().fillna(0).to_numpy(dtype=np.float64)
-        return vals, np.ones(len(text), dtype=np.int64)
-    raise AssertionError(spec.source)
+    return _BatchDerived(text).extract(spec)
+
+
+def _dense_bytes(spec: SketchSpec) -> int:
+    """Approximate serialized size of the dense sketch — the spill/compact
+    threshold."""
+    p = spec.params
+    if spec.kind == "bloom":
+        return p["m_bits"] // 8
+    if spec.kind == "hll":
+        return 1 << p["p"]
+    if spec.kind == "cms":
+        return p["width"] * p["depth"] * 8
+    return 4096  # kll / tdigest payloads are small and value-count-bound
+
+
+def _update_sketch(spec: SketchSpec, sk, keys: np.ndarray, counts: np.ndarray | None):
+    if spec.kind == "cms" and counts is not None:
+        sk.update(keys, counts)
+    else:
+        sk.update(keys)
+    return sk
+
+
+def _compact(spec: SketchSpec, bufs: list[np.ndarray]) -> tuple[bytes, object | None]:
+    """Buffered keys/values of one (bin, spec) -> the smaller of a compact
+    raw partial or the dense sketch. The raw-buffer path is the analog of
+    the reference's A1 per-bin k-mer buffering before init_ibf
+    (/root/reference/include/index_ibf.h:71-99): the shuffle then moves
+    unique keys (or key-count pairs), not full bitmaps — typically 10-100x
+    less traffic for sparse (task, bin) segments."""
+    allv = np.concatenate(bufs)
+    dense = _dense_bytes(spec)
+    if spec.kind in ("bloom", "hll"):
+        u = np.unique(allv)
+        if u.nbytes < dense:
+            return pack_payload(
+                "partial", {"spec": spec.name, "form": "keys"}, u.tobytes()
+            ), None
+    elif spec.kind == "cms":
+        u, c = np.unique(allv, return_counts=True)
+        if u.nbytes * 2 < dense:
+            body = u.tobytes() + c.astype(np.int64).tobytes()
+            return pack_payload(
+                "partial", {"spec": spec.name, "form": "pairs"}, body
+            ), None
+    else:  # kll / tdigest: raw float values
+        if allv.nbytes < dense:
+            return pack_payload(
+                "partial", {"spec": spec.name, "form": "values"},
+                allv.astype(np.float64).tobytes(),
+            ), None
+    sk = spec.make()
+    if spec.kind == "cms":
+        u, c = np.unique(allv, return_counts=True)
+        sk.update(u, c)
+    else:
+        sk.update(allv)
+    return sk.to_bytes(), sk
+
+
+def _unpack_partial(blob: bytes, spec: SketchSpec):
+    """-> ('partial', keys, counts) | ('sketch', sketch, None)."""
+    kind, params, body = unpack_payload(bytes(blob))
+    if kind != "partial":
+        return "sketch", from_bytes(bytes(blob)), None
+    form = params["form"]
+    if form == "keys":
+        return "partial", np.frombuffer(body, dtype=np.uint64), None
+    if form == "pairs":
+        half = len(body) // 2
+        return (
+            "partial",
+            np.frombuffer(body[:half], dtype=np.uint64),
+            np.frombuffer(body[half:], dtype=np.int64),
+        )
+    return "partial", np.frombuffer(body, dtype=np.float64), None
 
 
 def _partial_builder(specs: list[SketchSpec], has_html: bool):
+    dense = {s.name: _dense_bytes(s) for s in specs}
+    by_name = {s.name: s for s in specs}
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[tuple[int, str], object] = {}
+        # (bin, spec) -> either buffered arrays or a materialized sketch
+        bufs: dict[tuple[int, str], list[np.ndarray]] = {}
+        buf_bytes: dict[tuple[int, str], int] = {}
+        sketches: dict[tuple[int, str], object] = {}
         items: dict[tuple[int, str], int] = {}
         for pdf in batches:
             if pdf.empty:
@@ -115,8 +231,9 @@ def _partial_builder(specs: list[SketchSpec], has_html: bool):
                 pdf["text"], pdf["html"] if has_html and "html" in pdf else None
             )
             bins = pdf["bin_id"].to_numpy(dtype=np.int64)
+            derived = _BatchDerived(text)
             for spec in specs:
-                keys, counts = _extract(spec, text)
+                keys, counts = derived.extract(spec)
                 if keys.size == 0:
                     continue
                 key_bins = np.repeat(bins, counts)
@@ -128,29 +245,110 @@ def _partial_builder(specs: list[SketchSpec], has_html: bool):
                 for i, b in enumerate(uniq):
                     seg = sorted_keys[bounds[i] : bounds[i + 1]]
                     kk = (int(b), spec.name)
-                    sk = acc.get(kk)
-                    if sk is None:
-                        sk = acc[kk] = spec.make()
-                        items[kk] = 0
-                    sk.update(seg)
-                    items[kk] += seg.size
-        if acc:
-            yield pd.DataFrame(
-                {
-                    "bin_id": [k[0] for k in acc],
-                    "name": [k[1] for k in acc],
-                    "payload": [sk.to_bytes() for sk in acc.values()],
-                    "n_items": [items[k] for k in acc],
-                }
-            )
+                    items[kk] = items.get(kk, 0) + seg.size
+                    if kk in sketches:
+                        _update_sketch(spec, sketches[kk], seg, None)
+                        continue
+                    bufs.setdefault(kk, []).append(seg)
+                    buf_bytes[kk] = buf_bytes.get(kk, 0) + seg.nbytes
+                    if buf_bytes[kk] >= 2 * dense[spec.name]:
+                        # buffer outgrew the dense form: spill into a sketch
+                        allv = np.concatenate(bufs.pop(kk))
+                        buf_bytes.pop(kk)
+                        sketches[kk] = _update_sketch(spec, spec.make(), allv, None)
+        out = {"bin_id": [], "name": [], "payload": [], "n_items": []}
+        for kk, sk in sketches.items():
+            out["bin_id"].append(kk[0])
+            out["name"].append(kk[1])
+            out["payload"].append(sk.to_bytes())
+            out["n_items"].append(items[kk])
+        for kk, arrs in bufs.items():
+            blob, _ = _compact(by_name[kk[1]], arrs)
+            out["bin_id"].append(kk[0])
+            out["name"].append(kk[1])
+            out["payload"].append(blob)
+            out["n_items"].append(items[kk])
+        if out["bin_id"]:
+            yield pd.DataFrame(out)
 
     return fn
 
 
+def _make_merger(specs: list[SketchSpec], final: bool = True):
+    """Merge partial rows per group. With final=False (intermediate tree
+    levels) the output stays in COMPACT form whenever that is smaller than
+    the dense sketch — densifying at inner levels would multiply shuffle
+    bytes by the fan-out (observed 20k premature bitmaps = more CPU than
+    the whole build). Only the last level materializes dense sketches."""
+    by_name = {s.name: s for s in specs}
+
+    def merger(pdf: pd.DataFrame) -> pd.DataFrame:
+        name = pdf["name"].iloc[0]
+        spec = by_name[name]
+        sk = None
+        pending: list[tuple[np.ndarray, np.ndarray | None]] = []
+        for blob in pdf["payload"]:
+            what, a, c = _unpack_partial(blob, spec)
+            if what == "sketch":
+                sk = a if sk is None else sk.merge(a)
+            else:
+                pending.append((a, c))
+        row = {
+            "bin_id": [pdf["bin_id"].iloc[0]],
+            "name": [name],
+            "n_items": [int(pdf["n_items"].sum())],
+        }
+        if pending:
+            keys = np.concatenate([p[0] for p in pending])
+            counts = (
+                np.concatenate([p[1] for p in pending])
+                if spec.kind == "cms"
+                else None
+            )
+            if sk is None and not final:
+                # all-compact group at an inner level: re-compact
+                if spec.kind == "cms":
+                    u, inv = np.unique(keys, return_inverse=True)
+                    summed = np.zeros(u.size, dtype=np.int64)
+                    np.add.at(summed, inv, counts)
+                    if u.nbytes * 2 < _dense_bytes(spec):
+                        row["payload"] = [pack_payload(
+                            "partial", {"spec": name, "form": "pairs"},
+                            u.tobytes() + summed.tobytes())]
+                        return pd.DataFrame(row)
+                    keys, counts = u, summed
+                elif spec.kind in ("bloom", "hll"):
+                    u = np.unique(keys)
+                    if u.nbytes < _dense_bytes(spec):
+                        row["payload"] = [pack_payload(
+                            "partial", {"spec": name, "form": "keys"},
+                            u.tobytes())]
+                        return pd.DataFrame(row)
+                    keys = u
+                else:
+                    if keys.nbytes < _dense_bytes(spec):
+                        row["payload"] = [pack_payload(
+                            "partial", {"spec": name, "form": "values"},
+                            keys.astype(np.float64).tobytes())]
+                        return pd.DataFrame(row)
+            if sk is None:
+                sk = spec.make()
+            _update_sketch(spec, sk, keys, counts)
+        elif sk is None:
+            sk = spec.make()
+        row["payload"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    return merger
+
+
 def _merger(pdf: pd.DataFrame) -> pd.DataFrame:
-    sk = from_bytes(pdf["payload"].iloc[0])
+    """Merge rows that are all REAL sketches (final-table merging, used by
+    lineage finalize and streaming state union — compact partials never
+    appear there)."""
+    sk = from_bytes(bytes(pdf["payload"].iloc[0]))
     for blob in pdf["payload"].iloc[1:]:
-        sk.merge(from_bytes(blob))
+        sk.merge(from_bytes(bytes(blob)))
     return pd.DataFrame(
         {
             "bin_id": [pdf["bin_id"].iloc[0]],
@@ -181,16 +379,19 @@ def build_sketches(
         _partial_builder(specs, has_html), SKETCH_ROW_SCHEMA
     )
     n_parts = corpus.rdd.getNumPartitions()
-    if n_parts > fanin:
+    if n_parts > 2 * fanin:
+        # intermediate level: ~fanin partials per bucket, compact output
+        inner = _make_merger(specs, final=False)
+        n_buckets = (n_parts + fanin - 1) // fanin
         salted = partials.withColumn(
-            "salt", (F.spark_partition_id() % F.lit(fanin)).cast("int")
+            "salt", (F.spark_partition_id() % F.lit(n_buckets)).cast("int")
         )
-        level1 = salted.groupBy("bin_id", "name", "salt").applyInPandas(
-            lambda pdf: _merger(pdf.drop(columns=["salt"])),
+        partials = salted.groupBy("bin_id", "name", "salt").applyInPandas(
+            lambda pdf: inner(pdf.drop(columns=["salt"])),
             SKETCH_ROW_SCHEMA,
         )
-        partials = level1
-    return partials.groupBy("bin_id", "name").applyInPandas(_merger, SKETCH_ROW_SCHEMA)
+    final = _make_merger(specs, final=True)
+    return partials.groupBy("bin_id", "name").applyInPandas(final, SKETCH_ROW_SCHEMA)
 
 
 # -- sizing (reference parity: find_largest_bin + compute_bitcount) ----------

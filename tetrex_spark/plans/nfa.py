@@ -48,6 +48,10 @@ class Kind(Enum):
 class Node:
     kind: Kind
     chars: frozenset = field(default_factory=frozenset)
+    # GAP only: the set of possible consumed lengths of the collapsed
+    # subtree (None = unbounded/unknown -> the traversal cannot probe the
+    # d-gram index and treats the gap as unconstrained)
+    gaps: frozenset | None = None
 
 
 class NFA:
@@ -57,8 +61,10 @@ class NFA:
         self.nodes: list[Node] = []
         self.succ: list[list[int]] = []
 
-    def add(self, kind: Kind, chars: frozenset = frozenset()) -> int:
-        self.nodes.append(Node(kind, chars))
+    def add(
+        self, kind: Kind, chars: frozenset = frozenset(), gaps: frozenset | None = None
+    ) -> int:
+        self.nodes.append(Node(kind, chars, gaps))
         self.succ.append([])
         return len(self.nodes) - 1
 
@@ -148,6 +154,44 @@ class Ast:
             return p
         raise AssertionError(self.op)
 
+    def len_range(self) -> tuple[int, float]:
+        """(min, max) chars a TRUE match of this subtree consumes — max
+        may be inf (star/plus are unbounded in the real regex even though
+        the index NFA unrolls them). Drives the Gap length set handed to
+        the d-gram probe (detect_bad_graphs computes the same from its
+        Subgraph length algebra, construction_tools.h:74-142)."""
+        if self.op == "chars":
+            return 1, 1
+        if self.op == "gap":
+            return 0, float("inf")
+        if self.op == "concat":
+            lo = hi = 0
+            for kid in self.kids:
+                klo, khi = kid.len_range()
+                lo += klo
+                hi += khi
+            return lo, hi
+        if self.op == "union":
+            rs = [kid.len_range() for kid in self.kids]
+            return min(r[0] for r in rs), max(r[1] for r in rs)
+        if self.op == "opt":
+            return 0, self.kids[0].len_range()[1]
+        if self.op == "star":
+            return 0, float("inf")
+        if self.op == "plus":
+            return self.kids[0].len_range()[0], float("inf")
+        if self.op == "repeat":
+            klo, khi = self.kids[0].len_range()
+            return self.mn * klo, self.mx * khi
+        raise AssertionError(self.op)
+
+
+def _gap_set(ast: "Ast") -> frozenset | None:
+    lo, hi = ast.len_range()
+    if hi == float("inf") or hi - lo > 32:
+        return None
+    return frozenset(range(int(lo), int(hi) + 1))
+
 
 def postfix_to_ast(postfix: list[Token], alphabet: frozenset) -> Ast:
     stack: list[Ast] = []
@@ -192,9 +236,15 @@ def postfix_to_ast(postfix: list[Token], alphabet: frozenset) -> Ast:
 
 
 def _emit(nfa: NFA, ast: Ast, k: int) -> tuple[int, int]:
-    """Emit ast into nfa, returning (entry, exit) node ids."""
-    if ast.n_paths(k) >= MAX_PATH_PRODUCT:
-        g = nfa.add(Kind.GAP)
+    """Emit ast into nfa, returning (entry, exit) node ids.
+
+    Complexity collapse happens at concat sites (_emit_site), matching
+    the reference's detect_bad_graphs placement (concat_procedure,
+    construct_nfa.cpp:86-97) — NOT at the root: a query like
+    'data.{2,6}merge' has a huge global path product but only its middle
+    needs to become a Gap; the literal runs around it must keep probing."""
+    if ast.op != "concat" and ast.n_paths(k) >= MAX_PATH_PRODUCT:
+        g = nfa.add(Kind.GAP, gaps=_gap_set(ast))
         return g, g
     if ast.op == "chars":
         u = nfa.add(Kind.CHARS, ast.chars)
@@ -263,7 +313,7 @@ def _emit_site(nfa: NFA, ast: Ast, k: int) -> tuple[int, int]:
     hits the per-site threshold (detect_bad_graphs,
     construction_tools.cpp:161-180)."""
     if ast.n_paths(k) >= MAX_SITE_PATHS and ast.op in ("star", "plus", "repeat", "union", "opt"):
-        g = nfa.add(Kind.GAP)
+        g = nfa.add(Kind.GAP, gaps=_gap_set(ast))
         return g, g
     return _emit(nfa, ast, k)
 

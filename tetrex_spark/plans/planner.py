@@ -59,13 +59,16 @@ def corpus_alphabet(corpus: DataFrame) -> str:
 
 
 class MotifIndex:
-    """Built index handle: manifest + driver-side Bloom matrix."""
+    """Built index handle: manifest + driver-side Bloom matrix (+ the
+    optional d-gram matrices from a `track` run)."""
 
-    def __init__(self, bloom: BloomMatrix, manifest: dict, k: int, alphabet: str):
+    def __init__(self, bloom: BloomMatrix, manifest: dict, k: int, alphabet: str,
+                 dgram=None):
         self.bloom = bloom
         self.manifest = manifest
         self.k = k
         self.alphabet = alphabet
+        self.dgram = dgram
 
     # -- build ---------------------------------------------------------------
 
@@ -106,9 +109,25 @@ class MotifIndex:
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "MotifIndex":
+        from .dgram import DGramIndex
+
         manifest = read_manifest(path)
         bloom = BloomMatrix.load(spark, path, MOTIF_SKETCH_NAME)
-        return MotifIndex(bloom, manifest, manifest["k"], manifest["alphabet"])
+        dgram = DGramIndex.load(spark, path)
+        return MotifIndex(bloom, manifest, manifest["k"], manifest["alphabet"],
+                          dgram=dgram)
+
+    def track(self, corpus: DataFrame, path: str, *, min_gap: int = 1,
+              max_gap: int = 21, bin_key=None) -> "MotifIndex":
+        """`tetrex track` analog: add the gapped-gram sketch family to
+        this index and reload (src/dGramIndex.cpp:20-38)."""
+        from .dgram import build_dgram_index
+
+        build_dgram_index(
+            corpus, path, n_bins=self.manifest["n_bins"],
+            min_gap=min_gap, max_gap=max_gap, bin_key=bin_key,
+        )
+        return MotifIndex.load(corpus.sparkSession, path)
 
     # -- plan ----------------------------------------------------------------
 
@@ -119,7 +138,7 @@ class MotifIndex:
             ones = np.ones(self.bloom.n_bins, dtype=bool)
             return TraversalResult(ones, 0, 0, True)
         nfa = compile_nfa(trimmed, self.k, frozenset(self.alphabet))
-        return collect(nfa, self.bloom, self.k)
+        return collect(nfa, self.bloom, self.k, dgram=self.dgram)
 
     # -- execute ---------------------------------------------------------------
 

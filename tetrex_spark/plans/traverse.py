@@ -8,13 +8,16 @@ query planner, stage 3. Semantic port of the reference's OTFCollector
     when a window fills, probe the Bloom matrix and AND the path with the
     returned bin vector (:263-266 `path &= hits`), dropping dead paths
     (:383 `path_.none()`);
-  - absorption (:162-213): states at the same node with the same last
-    k-1 chars are merged by OR-ing their path vectors — the suffix is
-    all that can influence future probes, so this is lossless and is
-    what keeps the state count polynomial;
+  - absorption (:162-213): states at the same node with the same consumed
+    tail are merged by OR-ing their path vectors — the tail is all that
+    can influence future probes, so this is lossless and is what keeps
+    the state count polynomial;
   - probe memoization (kmer_cache_, :54,260-276);
-  - GAP: reset the window, keep the path (sound over-approximation of
-    the reference's DIBF-checked gap, :216-245);
+  - GAP: reset the window; if the gap's length set is bounded AND a
+    d-gram index is attached, remember the 3 chars before the gap and —
+    once 3 chars have been consumed after it — probe the gapped-gram
+    Blooms and AND the OR-over-gap-lengths hit vector into the path
+    (update_gapped, :216-245). Otherwise the gap is unconstrained;
   - MATCH: OR the path into the result (:361-362).
 
 A path that reaches MATCH having never filled a window contributes an
@@ -29,6 +32,8 @@ from __future__ import annotations
 import numpy as np
 
 from .nfa import NFA, Kind
+
+PAD = 3  # d-gram pad width (fixed 3+3, like the reference's dGramIndex)
 
 
 class TraversalResult:
@@ -45,15 +50,18 @@ class TraversalResult:
 MAX_STATES_PER_NODE = 4096
 
 
-def collect(nfa: NFA, bloom, k: int) -> TraversalResult:
-    """bloom: an object with probe_one(key)->bool[B] and n_bins (duck-typed
-    so tests can swap in an exact inverted index)."""
+def collect(nfa: NFA, bloom, k: int, dgram=None) -> TraversalResult:
+    """bloom: an object with probe_one(key)->bool[B] and n_bins; dgram:
+    optional plans.dgram.DGramIndex (or any probe_gap(l3, gaps, r3)
+    provider). Both duck-typed so tests can swap exact inverted indexes."""
     from ..functions.text import hash_char_kgram
 
     B = bloom.n_bins
+    tail_len = max(k - 1, PAD)
     ones = np.ones(B, dtype=bool)
     result = np.zeros(B, dtype=bool)
     cache: dict[str, np.ndarray] = {}
+    gap_cache: dict[tuple, np.ndarray] = {}
     stats = {"probes": 0, "cached": 0}
     full_scan = False
 
@@ -67,20 +75,32 @@ def collect(nfa: NFA, bloom, k: int) -> TraversalResult:
             stats["cached"] += 1
         return hit
 
-    # states[node] = {window(str of last <=k-1 chars, or full prefix if
-    # shorter): (path bool[B], probed_any bool)}
-    states: list[dict[str, tuple[np.ndarray, bool]]] = [dict() for _ in nfa.nodes]
-
-    def absorb(node: int, window: str, path: np.ndarray, probed: bool) -> None:
-        cur = states[node].get(window)
-        if cur is None:
-            states[node][window] = (path, probed)
+    def probe_gap(left3: str, gaps: frozenset, right3: str) -> np.ndarray:
+        key = (left3, gaps, right3)
+        hit = gap_cache.get(key)
+        if hit is None:
+            stats["probes"] += 1
+            hit = dgram.probe_gap(left3, sorted(gaps), right3)
+            gap_cache[key] = hit
         else:
-            states[node][window] = (cur[0] | path, cur[1] and probed)
+            stats["cached"] += 1
+        return hit
+
+    # state key = (tail, pending); value = (path bool[B], probed_any)
+    # tail: last <= max(k-1, 3) consumed chars since the last reset
+    # pending: None | (left3, gaps) — an un-resolved d-gram constraint
+    states: list[dict[tuple, tuple[np.ndarray, bool]]] = [dict() for _ in nfa.nodes]
+
+    def absorb(node: int, key: tuple, path: np.ndarray, probed: bool) -> None:
+        cur = states[node].get(key)
+        if cur is None:
+            states[node][key] = (path, probed)
+        else:
+            states[node][key] = (cur[0] | path, cur[1] and probed)
 
     order = nfa.topo_order()
     start = next(i for i in order if nfa.nodes[i].kind == Kind.START)
-    states[start][""] = (ones.copy(), False)
+    states[start][("", None)] = (ones.copy(), False)
 
     for u in order:
         node_states = states[u]
@@ -93,31 +113,46 @@ def collect(nfa: NFA, bloom, k: int) -> TraversalResult:
             for p, pr in node_states.values():
                 merged |= p
                 any_probed = any_probed and pr
-            node_states = {"": (merged, any_probed)}
+            node_states = {("", None): (merged, any_probed)}
             states[u] = node_states
-        for window, (path, probed) in node_states.items():
+        for (tail, pending), (path, probed) in node_states.items():
             for v in nfa.succ[u]:
                 nd = nfa.nodes[v]
                 if nd.kind == Kind.CHARS:
                     for c in nd.chars:
-                        seq = window + c
-                        if len(seq) == k:
-                            hit = probe(seq)
-                            new_path = path & hit
+                        seq = tail + c
+                        new_path = path
+                        new_probed = probed
+                        new_pending = pending
+                        if len(seq) >= k:
+                            hit = probe(seq[-k:])
+                            new_path = new_path & hit
                             if not new_path.any():
                                 continue  # dead path short-circuit
-                            absorb(v, seq[1:], new_path, True)
-                        else:
-                            absorb(v, seq, path.copy(), probed)
+                            new_probed = True
+                        if pending is not None and len(seq) >= PAD:
+                            left3, gaps = pending
+                            hit = probe_gap(left3, gaps, seq[:PAD])
+                            new_path = new_path & hit
+                            if not new_path.any():
+                                continue
+                            new_probed = True
+                            new_pending = None
+                        if new_path is path:
+                            new_path = path.copy()
+                        absorb(v, (seq[-tail_len:], new_pending), new_path, new_probed)
                 elif nd.kind == Kind.GAP:
-                    absorb(v, "", path.copy(), probed)
+                    new_pending = None
+                    if dgram is not None and nd.gaps is not None and len(tail) >= PAD:
+                        new_pending = (tail[-PAD:], nd.gaps)
+                    absorb(v, ("", new_pending), path.copy(), probed)
                 else:  # GHOST / SPLIT / MATCH — epsilon forward
                     if nd.kind == Kind.MATCH:
                         result |= path
                         if not probed:
                             full_scan = True
                     else:
-                        absorb(v, window, path.copy(), probed)
+                        absorb(v, (tail, pending), path.copy(), probed)
         states[u] = {}  # free
     if full_scan:
         result = ones
