@@ -3,7 +3,7 @@ per the sandbox instruction as local[4] vs local[16] on identical input
 — see BENCH/BASELINE.md for why 8->32 is hardware-capped on this host).
 
 Workload: full 5-kind sketch build+merge over 64x-replicated documents
-(sf0.1 -> 320k docs) as corpus text — large enough that fixed JVM/session
+(sf0.1 -> 1.28M docs) as corpus text — large enough that fixed JVM/session
 overhead is amortized. Each parallelism level runs in a FRESH subprocess/JVM; the
 timed section excludes session startup and input warmup.
 
@@ -26,7 +26,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 N_BINS = 64
-REPL = 64  # document replication factor (bulk: 64 x 5000 = 320k docs)
+REPL = 256  # document replication factor (bulk: 256 x 5000 = 1.28M docs)
 
 
 def prep(sf_dir: str, out_dir: str) -> None:
@@ -134,8 +134,8 @@ def main() -> None:
         "metric": "scaling_efficiency_4_to_16",
         "value": round(eff, 3),
         "target": 0.8,
-        "local8": r8,
-        "local32": r32,
+        "local4": r8,
+        "local16": r32,
     }
     print(json.dumps(summary))
     bench_dir = REPO / "BENCH"
@@ -147,7 +147,7 @@ def main() -> None:
 Same job, same input, fresh JVM per level ({time.strftime('%Y-%m-%d')}):
 full 5-kind sketch build+merge (bloom 2^20 bits, hll p=12, cms 2048x5,
 kll k=200, t-digest d=100) over {r8['n_docs']:,} replicated-document docs
-({sf_dir}), {N_BINS} bins, fixed 128-partition layout.
+({sf_dir}), {N_BINS} bins, fixed 256-file input layout.
 
 | parallelism | build wall (s) | docs/sec |
 |---|---|---|
