@@ -273,6 +273,16 @@ def q_candidate_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "pattern string, bin_id int")
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic media table -> image features
+    (decode is the documented fake codec; schema/batching real)."""
+    from tetrex_spark.operators.multimodal import image_features, synth_media
+
+    return image_features(synth_media(spark, 24)).select(
+        "media_id", "width", "height", F.round("std_gray", 6).alias("std_gray")
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tetrex_spark.functions.analysis import winnow_fingerprints
 
@@ -301,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "candidate_bins": q_candidate_bins,
         "fingerprints": q_fingerprints,
+        "multimodal_features": q_multimodal_features,
     }
 
 
