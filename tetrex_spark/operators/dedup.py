@@ -104,35 +104,75 @@ def jaccard_pairs_exact(
 # -- minhash + LSH ----------------------------------------------------------
 
 
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+_MH_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
 def minhash_signatures(
     df: DataFrame, k: int = 3, num_perm: int = 64,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, m0..m{P-1}) minhash signature — P independent hashes derived
-    JVM-side as xxhash64(perm_index, shingle_hash); min per doc is a
-    map-side-combined agg, so the shuffle carries P longs per doc."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, k)).alias("g"),
-    ).select("id", F.xxhash64("g").alias("sh"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
-    return ex.groupBy("id").agg(*aggs)
+    """(id, sig: array<long>[num_perm]) — numpy minhash inside mapInPandas.
+
+    Each doc's signature is computed where the doc's row lives, so the
+    shingle stream never shuffles at all (an earlier 64-column
+    groupBy-min formulation also paid seconds of Janino codegen for the
+    64-aggregate plan). Each permutation is an independent splitmix64
+    re-mix of the kernel shingle hash: g_i(x) = splitmix64(x ^ seed_i).
+    (A cheaper h1 + i*h2 double-hash is NOT sound here: minima across i
+    track the lower envelope of lines, so the permutations are strongly
+    correlated and band-match counts get fat tails — observed as whole
+    near-dup pairs missed at jaccard 0.71.)
+    Docs with fewer than k tokens have no shingles and emit no row."""
+    from ..functions.text import normalize_series, token_shingle_hashes_series
+    from ..kernel.hashing import splitmix64
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = normalize_series(pdf[text_col])
+            sh, counts = token_shingle_hashes_series(text, k)
+            valid = counts > 0
+            if sh.size == 0 or not valid.any():
+                continue
+            seeds = splitmix64(
+                np.arange(1, num_perm + 1, dtype=np.uint64) * _MH_GOLDEN
+            )
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            vstarts = starts[valid]
+            sig = np.empty((int(valid.sum()), num_perm), dtype=np.uint64)
+            for i in range(num_perm):
+                arr = splitmix64(sh ^ seeds[i])
+                sig[:, i] = np.minimum.reduceat(arr, vstarts)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy()[valid],
+                    "sig": list(sig.view(np.int64)),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, _SIG_SCHEMA)
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, k: int = 3, num_perm: int = 64, bands: int = 16,
+    df: DataFrame, k: int = 3, num_perm: int = 128, bands: int = 32,
     threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
 
     bands x rows = num_perm; a pair collides in some band w.p.
-    1-(1-j^r)^b — at the default (16x4, t=0.8) recall for j>=0.8 is
-    > 0.9998, and the exact verify removes all false positives, so the
-    output equals the exact all-pairs result with overwhelming
-    (deterministic-given-seed) probability."""
+    1-(1-j^r)^b — at the default (32x4) recall is ~0.99985 for j>=0.7
+    and ~1-5e-8 for j>=0.8, and the exact verify removes all false
+    positives, so the output equals the exact all-pairs result with
+    overwhelming (deterministic-given-seed) probability."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
@@ -140,7 +180,7 @@ def minhash_lsh_pairs(
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)]).alias("bh"),
+            F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -158,23 +198,29 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidates only (filter-then-verify)
-    ds = (
+    # exact verify on candidates only (filter-then-verify). One aggregate
+    # builds each doc's distinct-shingle-hash set as a sorted array; the
+    # (tiny) candidate-pair side is broadcast into two map-side joins and
+    # jaccard is array_intersect arithmetic — one pass over the corpus
+    # instead of re-exploding the shingle relation per join. Hash-collision
+    # risk (two distinct shingles colliding in 64 bits) is ~n^2/2^64,
+    # the same tolerance minhash itself assumes. Web documents are
+    # length-bounded, so a per-doc set array is executor-memory-safe.
+    sets = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("g"))
-        .distinct()
+        .select("id", F.xxhash64("g").alias("sh"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("sh")).alias("s"))
     )
-    sizes = ds.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(ds.alias("p"), F.col("p.id") == F.col("id_a"))
-        .join(ds.alias("q"), (F.col("q.id") == F.col("id_b")) & (F.col("q.g") == F.col("p.g")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        F.broadcast(cand).join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("s_a") + F.size("s_b") - inter),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

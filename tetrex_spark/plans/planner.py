@@ -47,7 +47,9 @@ def corpus_alphabet(corpus: DataFrame) -> str:
     closed alphabet, which is what makes dot-expansion sound AND finite."""
     norm = F.lower(F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8"), F.lit("")))
     rows = (
-        corpus.select(F.explode(F.split(norm, "")).alias("c"))
+        # per-doc array_distinct first: the explode then emits <= |alphabet|
+        # rows per doc instead of one row per character of the corpus
+        corpus.select(F.explode(F.array_distinct(F.split(norm, ""))).alias("c"))
         .filter(F.col("c") != "")
         .distinct()
         .collect()
