@@ -3,7 +3,7 @@ surface (/root/reference/src/main.cpp:78-93,113-115) re-expressed for
 spark-submit. Usage:
 
   spark-submit --py-files tetrex_spark.zip -m tetrex_spark.cli index \
-      --corpus <parquet> --output <index_dir> [--bins 64 --k 3 --fpr 0.05]
+      --corpus <parquet path | catalog table> --output <index_dir> [--bins 64 --k 3 --fpr 0.05]
   ... query  --index <index_dir> --corpus <parquet> --regex 'AC+G' [--regex-file f.tsv]
   ... inspect --index <index_dir>
   ... track  --corpus <parquet> --output <index_dir> [--min-gap 3 --max-gap 21]
@@ -19,6 +19,8 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+
+from .sources.corpus import read_corpus
 
 
 def _spark(app: str) -> SparkSession:
@@ -48,7 +50,7 @@ def cmd_index(args) -> int:
     from .plans.planner import MotifIndex
 
     spark = _spark("index")
-    corpus = spark.read.parquet(args.corpus)
+    corpus = read_corpus(spark, args.corpus)
     MotifIndex.build(
         corpus, args.output, n_bins=args.bins, k=args.k,
         fpr=args.fpr, n_hashes=args.hash_count,
@@ -65,7 +67,7 @@ def cmd_query(args) -> int:
 
     spark = _spark("query")
     idx = MotifIndex.load(spark, args.index)
-    corpus = spark.read.parquet(args.corpus)
+    corpus = read_corpus(spark, args.corpus)
     patterns = [("q0", args.regex)] if args.regex else read_regex_file(args.regex_file)
     for qid, motif in patterns:
         hits = idx.query(corpus, motif)
@@ -107,7 +109,7 @@ def cmd_track(args) -> int:
     from .plans.dgram import build_dgram_index
 
     spark = _spark("track")
-    corpus = spark.read.parquet(args.corpus)
+    corpus = read_corpus(spark, args.corpus)
     build_dgram_index(
         corpus, args.output, n_bins=args.bins,
         min_gap=args.min_gap, max_gap=args.max_gap, fpr=args.fpr,

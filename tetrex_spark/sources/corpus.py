@@ -128,6 +128,21 @@ FIXTURES = {
 # -- adapters ----------------------------------------------------------------
 
 
+def read_corpus(spark: SparkSession, src: str) -> DataFrame:
+    """Corpus from a path OR a catalog table name.
+
+    Anything with a path separator (or a .parquet suffix) is read as
+    parquet; everything else goes through ``spark.read.table`` — which is
+    how an Iceberg table (``catalog.db.pages``) arrives once the Iceberg
+    runtime + catalog are configured on the cluster (north-rule target;
+    this sandbox has no Iceberg jars, so the table path is exercised with
+    session-catalog views in tests). Iceberg then supplies snapshot
+    isolation + partition pruning underneath the exact same plan."""
+    if "/" in src or src.endswith(".parquet"):
+        return spark.read.parquet(src)
+    return spark.read.table(src)
+
+
 def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the scan yields fewer splits than
     the cluster has slots (single-file / single-row-group inputs serialize
