@@ -94,9 +94,11 @@ def worker(cpus: int, corpus_dir: str) -> None:
         SketchSpec("kll", "kll", "doc_length_tokens", params={"k": 200}),
         SketchSpec("td", "tdigest", "doc_length_chars", params={"delta": 100.0}),
     ]
-    t0 = time.time()
-    n_rows = build_sketches(corpus, specs).count()
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):  # min-of-2: hypervisor-neighbor noise is ~3x here
+        t0 = time.time()
+        n_rows = build_sketches(corpus, specs).count()
+        dt = min(dt, time.time() - t0)
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sketch_rows": n_rows,
                       "build_sec": round(dt, 3),
                       "docs_per_sec": round(n_docs / dt, 1)}))
