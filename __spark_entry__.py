@@ -101,8 +101,11 @@ def q_motif_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify a pattern over the whole corpus without pruning."""
     from tetrex_spark.operators.verify import verify_regex
 
+    # url+match only: DuckDB's regexp_extract_all has no offsets, and both
+    # engines share leftmost/non-overlapping/greedy semantics, so this is
+    # fully oracle-checkable (offsets are exercised by entry() and tests)
     return verify_regex(_corpus(spark, sf_dir), "data .{0,8}stream").select(
-        "url", "match", "start", "end"
+        "url", "match"
     )
 
 
@@ -329,6 +332,11 @@ def oracle_sql() -> dict[str, str]:
         "motif_regex": f"""
             with n as (select {_URL} as url, {_NORM_SQL_DUCK} as norm from documents)
             select url, unnest(regexp_extract_all(norm, '{MOTIF_PATTERN}')) as match
+            from n
+        """,
+        "motif_full_scan": f"""
+            with n as (select {_URL} as url, {_NORM_SQL_DUCK} as norm from documents)
+            select url, unnest(regexp_extract_all(norm, 'data .{{0,8}}stream')) as match
             from n
         """,
         "motif_conjunctive": f"""
