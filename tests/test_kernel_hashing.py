@@ -82,3 +82,61 @@ def test_kgram_hash_equals_series_hash_of_grams(k):
     text = "spark filter join window merge"
     grams = [text[i : i + k] for i in range(len(text) - k + 1)]
     assert np.array_equal(hash_char_kgrams(text, k), hash_str_series(grams))
+
+
+def _split_path_token_hashes(docs: pd.Series, seed=42):
+    """The original str.split() formulation — kept as the test oracle for
+    the one-pass buffer tokenizer."""
+    tokens_per_doc = docs.fillna("").str.split()
+    counts = tokens_per_doc.str.len().to_numpy(dtype=np.int64)
+    flat = tokens_per_doc.explode().dropna().reset_index(drop=True)
+    h = hash_str_series(flat, seed) if not flat.empty else np.zeros(0, dtype=np.uint64)
+    return h, counts
+
+
+def test_ws_tokens_equals_split_path():
+    from tetrex_spark.kernel.hashing import hash_ws_tokens_series
+
+    docs = pd.Series(
+        [
+            "the quick brown fox",
+            "",
+            None,
+            "  leading and   double  spaces ",
+            "tabs\tand\nnewlines\r\nmixed",
+            "single",
+            " ",
+            "ünïcode tökens stay bytes",
+            "x" * 5000 + " tail",  # token longer than the pow table
+        ]
+    )
+    fast_h, fast_c = hash_ws_tokens_series(docs)
+    ref_h, ref_c = _split_path_token_hashes(docs)
+    assert np.array_equal(fast_c, ref_c)
+    assert np.array_equal(fast_h, ref_h)
+
+
+def test_ws_tokens_random_property():
+    from tetrex_spark.kernel.hashing import hash_ws_tokens_series
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "bb", "ccc", "dddd", "e" * 17]
+    docs = []
+    for _ in range(300):
+        n = int(rng.integers(0, 12))
+        seps = rng.choice([" ", "  ", "\t", "\n", " \t "], size=max(n, 1))
+        words = rng.choice(vocab, size=n)
+        docs.append("".join(w + s for w, s in zip(words, seps)))
+    s = pd.Series(docs)
+    fast_h, fast_c = hash_ws_tokens_series(s)
+    ref_h, ref_c = _split_path_token_hashes(s)
+    assert np.array_equal(fast_c, ref_c)
+    assert np.array_equal(fast_h, ref_h)
+
+
+def test_concat_ranges():
+    from tetrex_spark.kernel.hashing import concat_ranges
+
+    out = concat_ranges(np.array([5, 0, 9]), np.array([2, 0, 3]))
+    assert list(out) == [5, 6, 9, 10, 11]
+    assert concat_ranges(np.array([], dtype=np.int64), np.array([], dtype=np.int64)).size == 0

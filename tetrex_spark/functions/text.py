@@ -30,6 +30,7 @@ from ..kernel.hashing import (
     hash_char_kgrams_series,
     hash_str,
     hash_str_series,
+    hash_ws_tokens_series,
 )
 
 TOKENIZER_VERSION = "tx1"
@@ -100,17 +101,15 @@ def token_shingle_hashes_series(
     (include/index_ibf.h:101-131) with tokens instead of bases.
 
     Implementation: rather than materializing shingle strings, we hash
-    each *token* once (Arrow-vectorized), then combine k consecutive token
-    hashes with position-weighted mixing — order-sensitive, collision-safe
-    in 64 bits, and equal to `hash_token_shingle(tokens[i:i+k])` on the
-    driver.
+    each *token* once (one vectorized pass over the Arrow byte buffer —
+    property-tested equal to the str.split()-then-hash formulation), then
+    combine k consecutive token hashes with position-weighted mixing —
+    order-sensitive, collision-safe in 64 bits, and equal to
+    `hash_token_shingle(tokens[i:i+k])` on the driver.
     """
-    tokens_per_doc = text.fillna("").str.split()
-    counts_tok = tokens_per_doc.str.len().to_numpy(dtype=np.int64)
-    flat = tokens_per_doc.explode().dropna().reset_index(drop=True)
-    if flat.empty:
+    tok_hash, counts_tok = hash_ws_tokens_series(text, seed)
+    if tok_hash.size == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(len(text), dtype=np.int64)
-    tok_hash = hash_str_series(flat, seed)
     return _combine_shingles(tok_hash, counts_tok, k)
 
 
@@ -130,11 +129,10 @@ def _combine_shingles(
         for j in range(k):
             acc += tok_hash[j : n_total - k + 1 + j] * _POW[j]
         mixed = splitmix64(acc ^ np.uint64(k))
+    from ..kernel.hashing import concat_ranges
+
     starts = np.concatenate([[0], np.cumsum(counts_tok)])[:-1]
-    keep = np.concatenate(
-        [np.arange(st, st + c, dtype=np.int64) for st, c in zip(starts, counts) if c > 0]
-    )
-    return mixed[keep], counts
+    return mixed[concat_ranges(starts, counts)], counts
 
 
 def hash_token_shingle(tokens: list[str], seed: int = int(DEFAULT_SEED)) -> int:

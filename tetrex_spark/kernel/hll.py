@@ -70,6 +70,9 @@ class HyperLogLog(Sketch):
         return 1.04 / (self.m**0.5)
 
     def update(self, keys: np.ndarray) -> "HyperLogLog":
+        """`keys` must already be uniform 64-bit hashes (the pipeline feeds
+        kernel.hashing outputs); raw small integers would all land in
+        register 0 and estimate ~1."""
         if len(keys) == 0:
             return self
         keys = np.atleast_1d(np.asarray(keys, dtype=U64))

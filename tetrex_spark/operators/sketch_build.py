@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernel import REGISTRY, from_bytes, pack_payload, unpack_payload
+from ..kernel.hashing import concat_ranges
 from ..functions.text import (
     char_kgram_hashes_series,
     corpus_text_series,
@@ -99,17 +100,9 @@ class _BatchDerived:
     def _token_hashes(self, seed: int) -> tuple[np.ndarray, np.ndarray]:
         got = self._tok.get(seed)
         if got is None:
-            from ..kernel.hashing import hash_str_series
+            from ..kernel.hashing import hash_ws_tokens_series
 
-            tokens_per_doc = self.text.fillna("").str.split()
-            counts_tok = tokens_per_doc.str.len().to_numpy(dtype=np.int64)
-            flat = tokens_per_doc.explode().dropna().reset_index(drop=True)
-            th = (
-                hash_str_series(flat, seed)
-                if not flat.empty
-                else np.zeros(0, dtype=np.uint64)
-            )
-            got = self._tok[seed] = (th, counts_tok)
+            got = self._tok[seed] = hash_ws_tokens_series(self.text, seed)
         return got
 
     def extract(self, spec: SketchSpec) -> tuple[np.ndarray, np.ndarray]:
@@ -232,18 +225,27 @@ def _partial_builder(specs: list[SketchSpec], has_html: bool):
             )
             bins = pdf["bin_id"].to_numpy(dtype=np.int64)
             derived = _BatchDerived(text)
+            # group DOCS by bin once (300k-element argsort), then gather
+            # each spec's keys through concat_ranges — never argsort the
+            # 100x-larger key stream itself
+            doc_order = np.argsort(bins, kind="stable")
+            doc_bins_sorted = bins[doc_order]
+            uniq, doc_firsts = np.unique(doc_bins_sorted, return_index=True)
             for spec in specs:
                 keys, counts = derived.extract(spec)
                 if keys.size == 0:
                     continue
-                key_bins = np.repeat(bins, counts)
-                order = np.argsort(key_bins, kind="stable")
-                sorted_bins = key_bins[order]
-                sorted_keys = keys[order]
-                uniq, starts = np.unique(sorted_bins, return_index=True)
-                bounds = np.append(starts, sorted_bins.size)
+                key_starts = np.zeros(counts.size, dtype=np.int64)
+                np.cumsum(counts[:-1], out=key_starts[1:])
+                c_sorted = counts[doc_order]
+                sorted_keys = keys[concat_ranges(key_starts[doc_order], c_sorted)]
+                kcum = np.zeros(c_sorted.size + 1, dtype=np.int64)
+                np.cumsum(c_sorted, out=kcum[1:])
+                bounds = np.append(kcum[doc_firsts], sorted_keys.size)
                 for i, b in enumerate(uniq):
                     seg = sorted_keys[bounds[i] : bounds[i + 1]]
+                    if seg.size == 0:
+                        continue
                     kk = (int(b), spec.name)
                     items[kk] = items.get(kk, 0) + seg.size
                     if kk in sketches:
