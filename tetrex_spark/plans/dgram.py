@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..kernel.hashing import _POW, hash_str, splitmix64
+from ..kernel.hashing import _POW, concat_ranges, hash_str, splitmix64
 from ..functions.text import corpus_text_series
 from ..kernel.bloom import bloom_m_bits
 from ..operators.sketch_build import SketchSpec
@@ -62,9 +62,7 @@ def _doc_dgram_keys(
     if counts_g.sum() == 0:
         return np.zeros(0, dtype=np.uint64)
     starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    keep = np.concatenate(
-        [np.arange(st, st + c) for st, c in zip(starts, counts_g) if c > 0]
-    )
+    keep = concat_ranges(starts, counts_g)
     left = grams[keep]
     right = grams[keep + PAD + gap]
     return combine_dgram(left, gap, right)
@@ -119,18 +117,25 @@ def build_dgram_index(
             )
             bins = pdf["bin_id"].to_numpy(dtype=np.int64)
             grams, counts = hash_char_kgrams_series(text, PAD, seed)
+            # group docs (not keys) by bin once, as in the main builder
+            doc_order = np.argsort(bins, kind="stable")
+            uniq, doc_firsts = np.unique(bins[doc_order], return_index=True)
             for gap in gaps:
                 keys = _doc_dgram_keys(grams, counts, gap)
                 if keys.size == 0:
                     continue
                 counts_g = np.maximum(counts - PAD - gap, 0)
-                key_bins = np.repeat(bins, counts_g)
-                order = np.argsort(key_bins, kind="stable")
-                sb, sk = key_bins[order], keys[order]
-                uniq, starts = np.unique(sb, return_index=True)
-                bounds = np.append(starts, sb.size)
+                key_starts = np.zeros(counts_g.size, dtype=np.int64)
+                np.cumsum(counts_g[:-1], out=key_starts[1:])
+                c_sorted = counts_g[doc_order]
+                sk = keys[concat_ranges(key_starts[doc_order], c_sorted)]
+                kcum = np.zeros(c_sorted.size + 1, dtype=np.int64)
+                np.cumsum(c_sorted, out=kcum[1:])
+                bounds = np.append(kcum[doc_firsts], sk.size)
                 for i, b in enumerate(uniq):
                     seg = sk[bounds[i] : bounds[i + 1]]
+                    if seg.size == 0:
+                        continue
                     kk = (int(b), gap)
                     bf = acc.get(kk)
                     if bf is None:
