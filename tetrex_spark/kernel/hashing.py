@@ -157,9 +157,12 @@ def hash_ws_tokens_series(
     reset[doc_starts[doc_starts < n]] = True
     nxt = np.flatnonzero(is_ws) + 1
     reset[nxt[nxt < n]] = True
-    idx = np.arange(n, dtype=np.int64)
-    last_reset = np.maximum.accumulate(np.where(reset, idx, np.int64(-1)))
-    g = (idx - last_reset) % _POW_TABLE_SIZE
+    # int32 index math (n < 2^31 per Arrow batch by construction) and a
+    # power-of-two mask instead of %: these arrays are 5x the text size,
+    # so narrowing them measurably cuts memory traffic at high core counts
+    idx = np.arange(n, dtype=np.int32)
+    last_reset = np.maximum.accumulate(np.where(reset, idx, np.int32(-1)))
+    g = (idx - last_reset) & (_POW_TABLE_SIZE - 1)
     with np.errstate(over="ignore"):
         w = buf.astype(U64) * _POW[g]
     w[is_ws] = U64(0)
