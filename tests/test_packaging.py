@@ -53,3 +53,15 @@ def test_read_corpus_path_and_table(spark, tmp_path):
     by_table = read_corpus(spark, "pages_view")
     assert by_table.count() == 64
     assert by_table.columns == by_path.columns
+
+
+def test_rebalance_is_noop_when_splits_suffice(spark, tmp_path):
+    from tetrex_spark.sources.corpus import rebalance
+
+    df = spark.range(1000).repartition(64)
+    out = rebalance(df, min_partitions=8)
+    assert out is df  # no extra shuffle added
+    few = spark.range(1000).coalesce(1)
+    out2 = rebalance(few, min_partitions=8)
+    assert out2.rdd.getNumPartitions() >= 8
+    assert out2.count() == 1000
