@@ -195,3 +195,16 @@ def test_reference_golden_mini():
         idx.add_doc(b, hash_char_kgrams(d, 3))
     res = collect(compile_nfa("ac+g", 3, ALPHA), idx, 3)
     assert set(res.bin_ids()) == {0}
+
+
+def test_prosite_to_posix_goldens():
+    from tetrex_spark.plans.rx import prosite_to_posix
+
+    # PROSITE documentation examples
+    assert prosite_to_posix("[AC]-x-V-x(4)-{ED}.") == "[AC].V.{4}[^ED]"
+    assert prosite_to_posix("<A-x-[ST](2)-x(0,1)-V") == "^A.[ST]{2}.{0,1}V"
+    assert prosite_to_posix("C-x(2)-[DE]") == "C.{2}[DE]"
+    assert prosite_to_posix("W-x(9,11)-[VFY]-[FYW]>") == "W.{9,11}[VFY][FYW]$"
+    import pytest
+    with pytest.raises(ValueError):
+        prosite_to_posix("A-(3")

@@ -230,3 +230,44 @@ def trim_regex(pattern: str) -> str:
             break
         end -= ln
     return pattern[start:end]
+
+
+def prosite_to_posix(pattern: str) -> str:
+    """PROSITE pattern notation -> POSIX regex (the `tetrex_tools convert
+    -s prosite` analog, /root/reference/utils/tetrex_tools:130-153;
+    written from the published PROSITE PA-line grammar, not the script).
+
+    Elements are '-'-separated; 'x' is any residue; [ABC] a class; {ABC}
+    a negated class; e(n) / e(n,m) repeats; '<' / '>' anchor N/C termini;
+    a trailing '.' ends the pattern.
+    """
+    p = pattern.strip().rstrip(".")
+    anchored_start = p.startswith("<")
+    anchored_end = p.endswith(">")
+    p = p.removeprefix("<").removesuffix(">")
+    out = []
+    for elem in p.split("-"):
+        if not elem:
+            continue
+        rep = ""
+        if "(" in elem:
+            if not elem.endswith(")"):
+                raise ValueError(f"bad PROSITE repeat in {elem!r}")
+            elem, n = elem[:-1].split("(", 1)
+            rep = "{%s}" % n.replace(",", ",")
+        if elem == "x":
+            out.append("." + rep)
+        elif elem.startswith("[") and elem.endswith("]"):
+            out.append(elem + rep)
+        elif elem.startswith("{") and elem.endswith("}"):
+            out.append("[^" + elem[1:-1] + "]" + rep)
+        elif len(elem) == 1 and elem.isalpha():
+            out.append(elem.upper() + rep)
+        else:
+            raise ValueError(f"bad PROSITE element {elem!r}")
+    rx = "".join(out)
+    if anchored_start:
+        rx = "^" + rx
+    if anchored_end:
+        rx = rx + "$"
+    return rx
