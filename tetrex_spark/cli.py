@@ -69,6 +69,10 @@ def cmd_query(args) -> int:
     idx = MotifIndex.load(spark, args.index)
     corpus = read_corpus(spark, args.corpus)
     patterns = [("q0", args.regex)] if args.regex else read_regex_file(args.regex_file)
+    if getattr(args, "syntax", "posix") == "prosite":
+        from .plans.rx import prosite_to_posix
+
+        patterns = [(qid, prosite_to_posix(m)) for qid, m in patterns]
     for qid, motif in patterns:
         hits = idx.query(corpus, motif)
         if args.output:
@@ -137,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--corpus", required=True)
     pq.add_argument("--regex")
     pq.add_argument("--regex-file")
+    pq.add_argument("--syntax", choices=["posix", "prosite"], default="posix")
     pq.add_argument("--output")
     pq.set_defaults(fn=cmd_query)
 
