@@ -96,6 +96,31 @@ def q_motif_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.query_all(_corpus(spark, sf_dir), MOTIF_PATTERNS_CONJ)
 
 
+def _motif_gap_index(spark: SparkSession, sf_dir: str):
+    """_motif_index + the d-gram (gapped-gram) sketch family — the
+    `tetrex track` analog (SURVEY.md §3.3), cached per sf_dir."""
+    key = ("gap", sf_dir)
+    if key not in _index_cache:
+        idx = _motif_index(spark, sf_dir)
+        path = os.path.join(
+            tempfile.gettempdir(), f"tetrex_motif_idx_{abs(hash(sf_dir))}"
+        )
+        if idx.dgram is None:
+            idx = idx.track(_corpus(spark, sf_dir), path, min_gap=1, max_gap=9)
+        _index_cache[key] = idx
+    return _index_cache[key]
+
+
+def q_motif_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 end-to-end: '.{0,8}' forces a complexity site -> GAP node ->
+    d-gram Bloom probes (update_gapped analog); output must equal the
+    full-scan oracle (candidate superset + exact verify)."""
+    idx = _motif_gap_index(spark, sf_dir)
+    return idx.query(_corpus(spark, sf_dir), "data .{0,8}stream").select(
+        "url", "match"
+    )
+
+
 def q_motif_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3-style unindexed scan (bin_count==1 fallback, query.h:265-272):
     verify a pattern over the whole corpus without pruning."""
@@ -301,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_regex": q_motif_regex,
         "motif_conjunctive": q_motif_conjunctive,
         "motif_full_scan": q_motif_full_scan,
+        "motif_gap": q_motif_gap,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs_lsh": q_jaccard_pairs_lsh,
         "token_stats": q_token_stats,
@@ -335,6 +361,11 @@ def oracle_sql() -> dict[str, str]:
             from n
         """,
         "motif_full_scan": f"""
+            with n as (select {_URL} as url, {_NORM_SQL_DUCK} as norm from documents)
+            select url, unnest(regexp_extract_all(norm, 'data .{{0,8}}stream')) as match
+            from n
+        """,
+        "motif_gap": f"""
             with n as (select {_URL} as url, {_NORM_SQL_DUCK} as norm from documents)
             select url, unnest(regexp_extract_all(norm, 'data .{{0,8}}stream')) as match
             from n
