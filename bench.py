@@ -94,8 +94,10 @@ def main() -> None:
         lambda: idx.query_all(corpus, entrymod.MOTIF_PATTERNS_CONJ).count(),
     )
 
-    # 3. training-pipeline operators
+    # 3. training-pipeline operators (+ the d-gram-pruned gap motif; its
+    # one-time track build lands in run 1, min-of-2 reports steady state)
     for name in [
+        "motif_gap",
         "exact_dedup",
         "jaccard_pairs_lsh",
         "token_stats",
