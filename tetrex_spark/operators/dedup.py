@@ -162,6 +162,42 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(fn, _SIG_SCHEMA)
 
 
+_SETS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("s", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+
+def _shingle_sets(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sorted distinct k-shingle hashes) per doc with >= 1 shingle —
+    one vectorized pass, computed where the doc lives (no shuffle)."""
+    from ..functions.text import normalize_series, token_shingle_hashes_series
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = normalize_series(pdf[text_col])
+            sh, counts = token_shingle_hashes_series(text, k)
+            valid = counts > 0
+            if sh.size == 0 or not valid.any():
+                continue
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            ids = pdf[id_col].to_numpy()[valid]
+            sets = [
+                np.unique(sh[st : st + c]).view(np.int64)
+                for st, c in zip(starts[valid], counts[valid])
+            ]
+            yield pd.DataFrame({"id": ids, "s": sets})
+
+    return df.select(id_col, text_col).mapInPandas(fn, _SETS_SCHEMA)
+
+
 def minhash_lsh_pairs(
     df: DataFrame, k: int = 3, num_perm: int = 128, bands: int = 32,
     threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
@@ -198,20 +234,16 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidates only (filter-then-verify). One aggregate
-    # builds each doc's distinct-shingle-hash set as a sorted array; the
-    # (tiny) candidate-pair side is broadcast into two map-side joins and
-    # jaccard is array_intersect arithmetic — one pass over the corpus
-    # instead of re-exploding the shingle relation per join. Hash-collision
-    # risk (two distinct shingles colliding in 64 bits) is ~n^2/2^64,
-    # the same tolerance minhash itself assumes. Web documents are
+    # exact verify on candidates only (filter-then-verify). Each doc's
+    # distinct-shingle-hash set is computed as a sorted array in the same
+    # vectorized kernel pass the signatures use — zero shuffle, no
+    # interpreted higher-order JVM shingle expressions (transform/slice/
+    # concat_ws run ~1000x slower per shingle than the buffer hasher).
+    # The (tiny) candidate-pair side is broadcast into two map-side joins
+    # and jaccard is array_intersect arithmetic. Hash-collision risk is
+    # ~n^2/2^64 — the tolerance minhash itself assumes. Web documents are
     # length-bounded, so a per-doc set array is executor-memory-safe.
-    sets = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("g"))
-        .select("id", F.xxhash64("g").alias("sh"))
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("sh")).alias("s"))
-    )
+    sets = _shingle_sets(df, k, text_col, id_col)
     sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
