@@ -106,7 +106,10 @@ def _motif_gap_index(spark: SparkSession, sf_dir: str):
             tempfile.gettempdir(), f"tetrex_motif_idx_{abs(hash(sf_dir))}"
         )
         if idx.dgram is None:
-            idx = idx.track(_corpus(spark, sf_dir), path, min_gap=1, max_gap=9)
+            # min_gap=0: the flagship pattern 'data .{0,8}stream' yields gap
+            # set {0..8}; a gap below min_gap makes probe_gap unconstrained
+            # (all-ones), so gap-0 must be tracked for the probe to prune
+            idx = idx.track(_corpus(spark, sf_dir), path, min_gap=0, max_gap=9)
         _index_cache[key] = idx
     return _index_cache[key]
 

@@ -64,6 +64,45 @@ def test_dgram_tightens_candidates(tracked, spark, tmp_path_factory):
     assert strict, "d-gram index never pruned anything"
 
 
+def test_track_rejects_mismatched_bins(spark, tmp_path):
+    """A d-gram build with a different modulus than the index manifest
+    would AND mis-mapped bin vectors into query paths (silent recall
+    loss) — it must raise instead."""
+    from tetrex_spark.plans.dgram import build_dgram_index
+    from tetrex_spark.sources.corpus import motif_mini
+
+    corpus = motif_mini(spark)
+    path = str(tmp_path / "idx_mm")
+    MotifIndex.build(corpus, path, n_bins=2, k=3)
+    with pytest.raises(ValueError, match="n_bins"):
+        build_dgram_index(corpus, path, n_bins=4)
+
+
+def test_gap0_tracked_min_gap_zero(spark, tmp_path):
+    """min_gap=0 support: a '.{0,2}' gap (gap set {0,1,2}) only prunes when
+    gap-0 d-grams are tracked; hit-set equality must hold either way."""
+    corpus = webtext_small(spark)
+    path = str(tmp_path / "idx_g0")
+    idx = MotifIndex.build(corpus, path, n_bins=16, k=3)
+    idx = idx.track(corpus, path, min_gap=0, max_gap=4)
+    assert 0 in idx.dgram.matrices
+    pattern = "w.{0,2}ld"
+    rx = re.compile(pattern, re.IGNORECASE)
+    pdf = corpus.toPandas()
+    pdf["norm"] = corpus_text_series(pdf["text"], pdf["html"])
+    truth = set()
+    for url, doc in zip(pdf["url"], pdf["norm"]):
+        for m in rx.finditer(doc):
+            truth.add((url, m.group(0)))
+    got = {(r["url"], r["match"]) for r in idx.query(corpus, pattern).collect()}
+    assert got == truth
+    # the probe is constrained (not all-ones) now that gap 0 is in range
+    untracked = MotifIndex(idx.bloom, idx.manifest, idx.k, idx.alphabet, dgram=None)
+    assert set(idx.candidate_bins(pattern).bin_ids()) <= set(
+        untracked.candidate_bins(pattern).bin_ids()
+    )
+
+
 # -- CLI ---------------------------------------------------------------------
 
 

@@ -56,6 +56,20 @@ def test_finalize_refuses_incomplete(spark, corpus, tmp_path):
         cb.finalize(spark)
 
 
+def test_finalize_ignores_stale_chunk_dirs(spark, corpus, tmp_path):
+    """A chunk=<i> dir left by a previous build with a larger n_chunks must
+    NOT be merged in (it would double-count documents)."""
+    ck = str(tmp_path / "ck5")
+    # previous build with 8 chunks leaves dirs chunk=0..7
+    old = CheckpointedBuild(ck, specs(), n_chunks=8, build_id="old")
+    old.run(corpus)
+    # new 4-chunk build in the same dir: chunks 4..7 are stale for it
+    cb = CheckpointedBuild(ck, specs(), n_chunks=4, build_id="new")
+    out = _payloads(cb.run(corpus).collect())
+    single = _payloads(build_sketches(corpus, specs()).collect())
+    assert out == single
+
+
 def test_skew_report(spark, corpus, tmp_path):
     cb = CheckpointedBuild(str(tmp_path / "ck4"), specs(), n_chunks=2)
     cb.run(corpus)

@@ -114,12 +114,26 @@ def cmd_track(args) -> int:
 
     spark = _spark("track")
     corpus = read_corpus(spark, args.corpus)
+    # default --bins to the existing index manifest's n_bins: a different
+    # modulus would bucket d-grams into the wrong bin vectors (silent
+    # recall loss); build_dgram_index raises on an explicit mismatch
+    n_bins = args.bins
+    if n_bins is None:
+        import os
+
+        from .sources.sketch_store import read_manifest
+
+        n_bins = (
+            read_manifest(args.output)["n_bins"]
+            if os.path.exists(f"{args.output}/manifest.json")
+            else 64
+        )
     build_dgram_index(
-        corpus, args.output, n_bins=args.bins,
+        corpus, args.output, n_bins=n_bins,
         min_gap=args.min_gap, max_gap=args.max_gap, fpr=args.fpr,
     )
     print(f"Tracked d-grams (gap {args.min_gap}..{args.max_gap}) "
-          f"across {args.bins} bins.")
+          f"across {n_bins} bins.")
     return 0
 
 
@@ -152,7 +166,8 @@ def main(argv: list[str] | None = None) -> int:
     pt = sub.add_parser("track")
     pt.add_argument("--corpus", required=True)
     pt.add_argument("--output", required=True)
-    pt.add_argument("--bins", type=int, default=64)
+    pt.add_argument("--bins", type=int, default=None,
+                    help="default: the existing index manifest's n_bins")
     pt.add_argument("--min-gap", type=int, default=3)
     pt.add_argument("--max-gap", type=int, default=21)
     pt.add_argument("--fpr", type=float, default=0.05)

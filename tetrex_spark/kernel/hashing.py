@@ -157,11 +157,14 @@ def hash_ws_tokens_series(
     reset[doc_starts[doc_starts < n]] = True
     nxt = np.flatnonzero(is_ws) + 1
     reset[nxt[nxt < n]] = True
-    # int32 index math (n < 2^31 per Arrow batch by construction) and a
+    # int32 index math (Arrow batches are < 2 GiB in practice) and a
     # power-of-two mask instead of %: these arrays are 5x the text size,
-    # so narrowing them measurably cuts memory traffic at high core counts
-    idx = np.arange(n, dtype=np.int32)
-    last_reset = np.maximum.accumulate(np.where(reset, idx, np.int32(-1)))
+    # so narrowing them measurably cuts memory traffic at high core counts.
+    # Guarded: a pathological > 2 GiB concatenated batch falls back to
+    # int64 instead of silently wrapping.
+    itype = np.int32 if n < 2**31 else np.int64
+    idx = np.arange(n, dtype=itype)
+    last_reset = np.maximum.accumulate(np.where(reset, idx, itype(-1)))
     g = (idx - last_reset) & (_POW_TABLE_SIZE - 1)
     with np.errstate(over="ignore"):
         w = buf.astype(U64) * _POW[g]

@@ -124,7 +124,12 @@ class CheckpointedBuild:
         missing = set(range(self.n_chunks)) - self.committed_chunks()
         if missing:
             raise RuntimeError(f"cannot finalize: chunks {sorted(missing)} not committed")
-        all_parts = spark.read.parquet(f"{self.dir}/chunks")
+        # read ONLY this build's chunk range — stale chunk=* dirs left by a
+        # previous build with a larger n_chunks would otherwise be silently
+        # merged in, double-counting documents
+        all_parts = spark.read.parquet(
+            *[f"{self.dir}/chunks/chunk={i}" for i in range(self.n_chunks)]
+        )
         return all_parts.select("bin_id", "name", "payload", "n_items").groupBy(
             "bin_id", "name"
         ).applyInPandas(_merger, SKETCH_ROW_SCHEMA)

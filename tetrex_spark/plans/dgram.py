@@ -91,6 +91,22 @@ def build_dgram_index(
 
     from ..sources.corpus import with_bin_id
 
+    # Guard against binning d-grams with a different modulus than the
+    # existing index (same pattern as the tokenizer_version check in
+    # read_manifest): a mismatched n_bins would AND mis-mapped bin vectors
+    # into query paths — silent recall loss, not an error.
+    manifest_path = f"{path}/manifest.json"
+    manifest = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get("n_bins") not in (None, n_bins):
+            raise ValueError(
+                f"n_bins={n_bins} does not match the existing index manifest "
+                f"(n_bins={manifest['n_bins']}) at {path}; pass n_bins="
+                f"{manifest['n_bins']} (the CLI does this automatically)"
+            )
+
     binned = (
         corpus
         if "bin_id" in corpus.columns
@@ -160,12 +176,7 @@ def build_dgram_index(
     merged = rows.groupBy("bin_id", "name").applyInPandas(_merger, SKETCH_ROW_SCHEMA)
     merged.write.mode("append").partitionBy("name").parquet(f"{path}/rows")
 
-    manifest_path = f"{path}/manifest.json"
-    manifest = {}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-    else:
+    if not manifest:
         from ..functions.text import TOKENIZER_VERSION
 
         manifest = {
