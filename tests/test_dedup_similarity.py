@@ -59,6 +59,102 @@ def test_minhash_lsh_equals_exact(docs):
     assert lsh == exact
 
 
+@pytest.fixture(scope="module")
+def boilerplate(spark):
+    """Web-scale skew shape: one boilerplate doc duplicated 1200x (think
+    cookie banners / licence pages), plus 8 distinct docs of which one is
+    a near-dup of the boilerplate."""
+    boiler = "this site uses cookies to improve your experience accept all cookies to continue reading the page"
+    rows = [(i, boiler) for i in range(1200)]
+    near = boiler.split()
+    near[-1] = "content"
+    rows.append((5000, " ".join(near)))  # near-dup of the cluster
+    for j in range(7):
+        rows.append((6000 + j, f"totally unrelated document number {j} about distributed query engines and columnar storage formats volume {j}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_skewed_cluster_equals_exact(boilerplate):
+    """1200-copy exact-dup cluster: output must equal the analytic exact
+    answer WITHOUT a quadratic bucket join (pre-collapse reduces the
+    cluster to one representative before banding)."""
+    out = minhash_lsh_pairs(boilerplate, k=3, threshold=0.7).toPandas()
+    got = {(int(r.id_a), int(r.id_b)): float(r.jaccard) for r in out.itertuples()}
+    # expected: all C(1200,2) intra pairs @ 1.0 ...
+    n_intra = 1200 * 1199 // 2
+    # ... plus the near-dup 5000 against every cluster member, same jaccard
+    boiler_sh = None
+    import numpy as np
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    rows = {int(r.doc_id): r.text for r in boilerplate.toPandas().itertuples()}
+    sb, sn = shingles(rows[0]), shingles(rows[5000])
+    j_near = len(sb & sn) / len(sb | sn)
+    expected_cross = {(i, 5000): round(j_near, 6) for i in range(1200)} if j_near >= 0.7 else {}
+    assert j_near >= 0.7, "fixture must plant a qualifying near-dup"
+    assert len(got) == n_intra + len(expected_cross)
+    for (a, b), j in expected_cross.items():
+        assert abs(got[(a, b)] - j) < 1e-6
+    intra_vals = [j for (a, b), j in got.items() if b < 1200]
+    assert len(intra_vals) == n_intra and all(j == 1.0 for j in intra_vals)
+
+
+def test_minhash_lsh_candidates_bounded_on_skew(boilerplate):
+    """The rep-level candidate join must see the 1200-copy cluster as ONE
+    id: candidate pairs <= C(n_reps, 2) = C(9, 2) = 36."""
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.operators.dedup import (
+        band_buckets,
+        capped_candidate_pairs,
+        minhash_sigs_and_sets,
+        norm_col,
+    )
+
+    docs = boilerplate.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("txt"),
+        F.md5(norm_col("text")).alias("grp"),
+    )
+    reps = docs.groupBy("grp").agg(
+        F.min("id").alias("id"), F.first("txt").alias("txt")
+    )
+    assert reps.count() == 9
+    ss = minhash_sigs_and_sets(reps, k=3, num_perm=128, text_col="txt", id_col="id")
+    cand = capped_candidate_pairs(band_buckets(ss, 32, 4), max_bucket=512)
+    assert cand.count() <= 36
+
+
+def test_minhash_bucket_cap_drops_and_reports(spark):
+    """max_bucket below the bucket population: the over-cap bucket is
+    skipped (pairs only reachable through it disappear) and
+    lsh_bucket_stats reports the drop — no silent caps."""
+    from tetrex_spark.operators.dedup import (
+        band_buckets,
+        capped_candidate_pairs,
+        lsh_bucket_stats,
+        minhash_sigs_and_sets,
+    )
+
+    # 6 distinct docs sharing a long common prefix: high mutual jaccard,
+    # so plenty of shared band buckets
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(i, base + f"suffix{i}") for i in range(6)], "doc_id long, text string"
+    )
+    ss = minhash_sigs_and_sets(df, k=3, num_perm=128)
+    buckets = band_buckets(ss, 32, 4).persist()
+    uncapped = capped_candidate_pairs(buckets, None).count()
+    capped = capped_candidate_pairs(buckets, 2).count()
+    assert uncapped == 15  # all C(6,2) pairs collide somewhere
+    assert capped < uncapped
+    stats = lsh_bucket_stats(buckets, 2)
+    assert stats["n_over"] > 0 and stats["max_bucket_size"] >= 3
+    buckets.unpersist()
+
+
 def test_simhash_near_dups_close(docs):
     sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     # exact dups -> identical simhash

@@ -104,32 +104,34 @@ def jaccard_pairs_exact(
 # -- minhash + LSH ----------------------------------------------------------
 
 
-_SIG_SCHEMA = T.StructType(
+_MH_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_SIGSET_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
         T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+        T.StructField("s", T.ArrayType(T.LongType(), False), False),
     ]
 )
 
-_MH_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
-
-def minhash_signatures(
-    df: DataFrame, k: int = 3, num_perm: int = 64,
+def minhash_sigs_and_sets(
+    df: DataFrame, k: int = 3, num_perm: int = 128,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig: array<long>[num_perm]) — numpy minhash inside mapInPandas.
+    """(id, sig, s): MinHash signature AND sorted distinct shingle-hash set
+    from ONE tokenize+hash pass (the LSH blocking and its exact verify used
+    to be two full corpus scans; `_BatchDerived`-style fusion halves the
+    scan cost). Docs with fewer than k tokens emit no row.
 
-    Each doc's signature is computed where the doc's row lives, so the
-    shingle stream never shuffles at all (an earlier 64-column
-    groupBy-min formulation also paid seconds of Janino codegen for the
-    64-aggregate plan). Each permutation is an independent splitmix64
-    re-mix of the kernel shingle hash: g_i(x) = splitmix64(x ^ seed_i).
-    (A cheaper h1 + i*h2 double-hash is NOT sound here: minima across i
-    track the lower envelope of lines, so the permutations are strongly
-    correlated and band-match counts get fat tails — observed as whole
-    near-dup pairs missed at jaccard 0.71.)
-    Docs with fewer than k tokens have no shingles and emit no row."""
+    Each doc's row is computed where the doc lives — the shingle stream
+    never shuffles (an earlier 64-column groupBy-min formulation also paid
+    seconds of Janino codegen for the 64-aggregate plan). Each permutation
+    is an independent splitmix64 re-mix of the kernel shingle hash:
+    g_i(x) = splitmix64(x ^ seed_i). (A cheaper h1 + i*h2 double-hash is
+    NOT sound here: minima across i track the lower envelope of lines, so
+    the permutations are strongly correlated and band-match counts get fat
+    tails — observed as whole near-dup pairs missed at jaccard 0.71.)"""
     from ..functions.text import normalize_series, token_shingle_hashes_series
     from ..kernel.hashing import splitmix64
 
@@ -152,67 +154,24 @@ def minhash_signatures(
             for i in range(num_perm):
                 arr = splitmix64(sh ^ seeds[i])
                 sig[:, i] = np.minimum.reduceat(arr, vstarts)
+            sets = [
+                np.unique(sh[st : st + c]).view(np.int64)
+                for st, c in zip(vstarts, counts[valid])
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy()[valid],
                     "sig": list(sig.view(np.int64)),
+                    "s": sets,
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, _SIG_SCHEMA)
+    return df.select(id_col, text_col).mapInPandas(fn, _SIGSET_SCHEMA)
 
 
-_SETS_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType(), False),
-        T.StructField("s", T.ArrayType(T.LongType(), False), False),
-    ]
-)
-
-
-def _shingle_sets(
-    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, sorted distinct k-shingle hashes) per doc with >= 1 shingle —
-    one vectorized pass, computed where the doc lives (no shuffle)."""
-    from ..functions.text import normalize_series, token_shingle_hashes_series
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            text = normalize_series(pdf[text_col])
-            sh, counts = token_shingle_hashes_series(text, k)
-            valid = counts > 0
-            if sh.size == 0 or not valid.any():
-                continue
-            starts = np.zeros(len(counts), dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            ids = pdf[id_col].to_numpy()[valid]
-            sets = [
-                np.unique(sh[st : st + c]).view(np.int64)
-                for st, c in zip(starts[valid], counts[valid])
-            ]
-            yield pd.DataFrame({"id": ids, "s": sets})
-
-    return df.select(id_col, text_col).mapInPandas(fn, _SETS_SCHEMA)
-
-
-def minhash_lsh_pairs(
-    df: DataFrame, k: int = 3, num_perm: int = 128, bands: int = 32,
-    threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
-) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
-
-    bands x rows = num_perm; a pair collides in some band w.p.
-    1-(1-j^r)^b — at the default (32x4) recall is ~0.99985 for j>=0.7
-    and ~1-5e-8 for j>=0.8, and the exact verify removes all false
-    positives, so the output equals the exact all-pairs result with
-    overwhelming (deterministic-given-seed) probability."""
-    if num_perm % bands:
-        raise ValueError("bands must divide num_perm")
-    r = num_perm // bands
-    sig = minhash_signatures(df, k, num_perm, text_col, id_col)
+def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bh) rows from a signature table — one row per (doc, band),
+    bucket key = xxhash64 of the band's signature slice (JVM-side)."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -220,11 +179,33 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
+    return sig_df.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def capped_candidate_pairs(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from a (id, band, bh) bucket
+    table, skipping buckets with more than `max_bucket` members.
+
+    The cap bounds the self-join at B buckets x max_bucket^2 pairs instead
+    of the unbounded sum of bucket-size squares (one pathological bucket of
+    10^6 members is 5*10^11 pairs). Over-cap buckets are *whole-bucket*
+    drops — a pair can still surface via its other bands — and are
+    anything-but-silent: use `lsh_bucket_stats` on the same bucket table to
+    count and log them (kept out of this plan so the cap itself adds no
+    extra corpus scan). With exact-dup pre-collapse upstream (see
+    minhash_lsh_pairs) an over-cap bucket requires > max_bucket *distinct*
+    texts colliding in one band — at the default banding that means a
+    genuine giant near-dup cluster, which the cap converts from a quadratic
+    join into a bounded one."""
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bc"))
+        over = sizes.filter(F.col("bc") > max_bucket).select("band", "bh")
+        # over-cap bucket list is tiny by construction (<= n/max_bucket rows)
+        buckets = buckets.join(F.broadcast(over), ["band", "bh"], "left_anti")
     x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -234,20 +215,96 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidates only (filter-then-verify). Each doc's
-    # distinct-shingle-hash set is computed as a sorted array in the same
-    # vectorized kernel pass the signatures use — zero shuffle, no
-    # interpreted higher-order JVM shingle expressions (transform/slice/
-    # concat_ws run ~1000x slower per shingle than the buffer hasher).
-    # The (tiny) candidate-pair side is broadcast into two map-side joins
-    # and jaccard is array_intersect arithmetic. Hash-collision risk is
-    # ~n^2/2^64 — the tolerance minhash itself assumes. Web documents are
-    # length-bounded, so a per-doc set array is executor-memory-safe.
-    sets = _shingle_sets(df, k, text_col, id_col)
-    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+
+
+def lsh_bucket_stats(buckets: DataFrame, max_bucket: int) -> dict:
+    """Eager bucket-skew report for the no-silent-caps rule: how many
+    buckets (and member rows) exceed the cap. Run alongside (not inside)
+    the pairs plan; logs and returns the counts."""
+    import logging
+
+    row = (
+        buckets.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("bc") > max_bucket, 1).otherwise(0)).alias("n_over"),
+            F.sum(F.when(F.col("bc") > max_bucket, F.col("bc")).otherwise(0)).alias("rows_over"),
+            F.max("bc").alias("max_bucket_size"),
+        )
+        .collect()[0]
+    )
+    stats = {k: int(row[k] or 0) for k in
+             ("n_buckets", "n_over", "rows_over", "max_bucket_size")}
+    if stats["n_over"]:
+        logging.getLogger(__name__).warning(
+            "LSH bucket cap %d drops %d/%d buckets (%d member rows; largest %d)",
+            max_bucket, stats["n_over"], stats["n_buckets"],
+            stats["rows_over"], stats["max_bucket_size"],
+        )
+    return stats
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, k: int = 3, num_perm: int = 128, bands: int = 32,
+    threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int | None = 512, expand_exact_dups: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
+
+    bands x rows = num_perm; a pair collides in some band w.p.
+    1-(1-j^r)^b — at the default (32x4) recall is ~0.99985 for j>=0.7
+    and ~1-5e-8 for j>=0.8, and the exact verify removes all false
+    positives, so the output equals the exact all-pairs result with
+    overwhelming (deterministic-given-seed) probability.
+
+    Scale shape (the boilerplate-cluster killer): web corpora carry
+    exact-duplicate clusters of ~10^6 copies, which would put c copies in
+    the SAME bucket of EVERY band (O(c^2) candidates x bands). So:
+
+      1. exact-dup pre-collapse: group by md5(normalized text) — partial
+         aggregation collapses copies map-side, so the shuffle carries one
+         row per distinct text; LSH runs on group representatives only.
+      2. ONE fused mapInPandas pass computes signature + shingle set per
+         representative (persisted: blocking and verify both read it
+         without recomputing the tokenize/hash kernel).
+      3. band buckets are size-capped (see capped_candidate_pairs).
+      4. verified representative pairs (tiny, broadcast) are expanded back
+         to member pairs: cross-group pairs inherit the representatives'
+         jaccard (identical normalized text => identical shingle set);
+         intra-group pairs are exact duplicates => jaccard 1.0. With
+         expand_exact_dups=False the expansion is skipped and the output
+         is representative-level (at 10^12 docs you want the dup *groups*
+         table plus rep-level near-dup pairs, not the quadratic pair list).
+
+    md5 collision risk for the pre-collapse is ~n^2/2^128 — far below the
+    shingle-hash collision tolerance minhash itself assumes."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    # 1. exact-dup pre-collapse (map-side combine does the heavy lifting)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.md5(norm_col(text_col)).alias("grp"),
+    )
+    reps = docs.groupBy("grp").agg(
+        F.min("id").alias("id"),
+        F.first("txt").alias("txt"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    # 2. one fused kernel pass, persisted for its two consumers
+    ss = minhash_sigs_and_sets(reps, k, num_perm, "txt", "id").persist()
+    # 3. capped blocking
+    cand = capped_candidate_pairs(band_buckets(ss, bands, r), max_bucket)
+    # 4. exact verify on candidates only (filter-then-verify, the
+    # reference's query.h:265-281 architecture transplanted to similarity).
+    # The (tiny) candidate-pair side is broadcast into two map-side joins;
+    # jaccard is array_intersect arithmetic on the persisted sets.
+    sa = ss.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = ss.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
-    return (
+    rep_pairs = (
         F.broadcast(cand).join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
@@ -256,6 +313,53 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if not expand_exact_dups:
+        return rep_pairs
+    # 5. expand representative pairs to member pairs
+    members = docs.select("grp", "id")
+    rg = reps.select(F.col("id").alias("rid"), F.col("grp").alias("rgrp"))
+    pairs_g = (
+        F.broadcast(rep_pairs)
+        .join(rg.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
+        .join(rg.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
+        .select("grp_a", "grp_b", "jaccard")
+    )
+    cross = (
+        members.select(F.col("grp").alias("grp_a"), F.col("id").alias("ia"))
+        .join(F.broadcast(pairs_g), "grp_a")
+        .join(
+            members.select(F.col("grp").alias("grp_b"), F.col("id").alias("ib")),
+            "grp_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: exact duplicates (jaccard 1.0); only groups whose
+    # representative produced a shingle set (>= k tokens) — docs without
+    # shingles have no jaccard to anything, matching the exact oracle
+    elig = (
+        reps.filter(F.col("csize") > 1)
+        .join(ss.select("id"), "id")
+        .select("grp")
+    )
+    mi = members.join(elig, "grp")
+    xi, yi = mi.alias("xi"), mi.alias("yi")
+    intra = (
+        xi.join(
+            yi,
+            (F.col("xi.grp") == F.col("yi.grp"))
+            & (F.col("xi.id") < F.col("yi.id")),
+        )
+        .select(
+            F.col("xi.id").alias("id_a"),
+            F.col("yi.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # -- simhash -----------------------------------------------------------------
