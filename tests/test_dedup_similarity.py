@@ -166,6 +166,68 @@ def test_simhash_near_dups_close(docs):
     assert (0, 100) in pairs and (0, 101) in pairs and (100, 101) in pairs
 
 
+def test_simhash_blocking_recall_wide_buckets(spark):
+    """Pigeonhole blocking at n_blocks=6 (20 bands, >=31-bit keys => >=2^20
+    buckets) must have recall EXACTLY 1.0 for hamming <= 3 — deterministic,
+    not probabilistic. 300 planted pairs at hamming 1..3 + noise docs."""
+    from tetrex_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    rng = np.random.default_rng(17)
+    rows, want = [], set()
+    vid = 0
+    for i in range(300):
+        base = int(rng.integers(0, 2**63, dtype=np.int64))
+        d = 1 + i % 3
+        flips = rng.choice(64, size=d, replace=False)
+        partner = base
+        for b in flips:
+            partner ^= 1 << int(b)
+        partner = np.int64(np.uint64(partner) & np.uint64(0xFFFFFFFFFFFFFFFF))
+        rows.append((vid, base))
+        rows.append((vid + 1, int(partner)))
+        want.add((vid, vid + 1))
+        vid += 2
+    for _ in range(200):  # noise: far-apart fingerprints
+        rows.append((vid, int(rng.integers(0, 2**63, dtype=np.int64))))
+        vid += 1
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_from_fingerprints(sh, max_hamming=3, n_blocks=6).collect()
+    }
+    assert want <= got  # recall 1.0 on every planted pair
+    # and precision: every reported pair really is within hamming 3
+    by_id = dict(rows)
+    for a, b in got:
+        # mask: Python ints are signed-unbounded; hamming is over the
+        # 64-bit two's-complement pattern (what the JVM bit_count sees)
+        assert bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_simhash_pairs_skewed_cluster_bounded(spark):
+    """1000 identical fingerprints pre-collapse to one representative:
+    candidate pairs stay tiny, output expands to all C(1000,2) intra pairs
+    plus cross pairs at the representatives' hamming."""
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.operators.dedup import (
+        capped_candidate_pairs,
+        simhash_pairs_from_fingerprints,
+    )
+
+    base = 0x0123456789ABCDEF
+    rows = [(i, base) for i in range(1000)]
+    rows.append((5000, base ^ 0b101))  # hamming 2 from the cluster
+    rows.append((6000, -1))  # far away
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+    out = simhash_pairs_from_fingerprints(sh, max_hamming=3).toPandas()
+    n_intra = 1000 * 999 // 2
+    assert len(out) == n_intra + 1000
+    cross = out[out.id_b == 5000]
+    assert len(cross) == 1000 and (cross.hamming == 2).all()
+    assert (out[out.id_b != 5000].hamming == 0).all()
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(7)

@@ -385,19 +385,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 continue
             text = normalize_series(pdf[text_col])
             hashes, counts = token_shingle_hashes_series(text, 1)
-            bits = np.unpackbits(
-                hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            ).astype(np.int32)  # (n_tokens, 64)
-            signed = 2 * bits - 1
             out = np.zeros(len(pdf), dtype=np.uint64)
-            off = 0
-            for i, c in enumerate(counts):
-                if c > 0:
-                    s = signed[off : off + c].sum(axis=0)
-                    out[i] = np.packbits(
-                        (s > 0).astype(np.uint8), bitorder="little"
-                    ).view(np.uint64)[0]
-                off += c
+            valid = counts > 0
+            if valid.any() and hashes.size:
+                bits = np.unpackbits(
+                    hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int32)  # (n_tokens, 64)
+                signed = 2 * bits - 1
+                # one reduceat over doc boundaries (zero-count docs are
+                # excluded from the boundary list, so segments stay exact)
+                starts = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                sums = np.add.reduceat(signed, starts[valid], axis=0)
+                out[valid] = np.packbits(
+                    sums > 0, axis=1, bitorder="little"
+                ).view(np.uint64)[:, 0]
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(), "simhash": out.view(np.int64)}
             )
@@ -405,37 +407,129 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(id_col, text_col).mapInPandas(fn, _SIMHASH_SCHEMA)
 
 
+def simhash_blocking_plan(n_blocks: int, max_hamming: int) -> list[tuple[int, ...]]:
+    """Pigeonhole band plan (Manku/Jain/Das Sarma 2007): split 64 bits into
+    n_blocks spans; any pair at hamming <= max_hamming differs in at most
+    max_hamming blocks, so SOME combination of (n_blocks - max_hamming)
+    blocks is untouched — index every such combination as one band key.
+    Returns the block combinations; C(n_blocks, n_blocks - max_hamming)
+    bands, key width = sum of the selected block widths.
+
+    Capacity scales with n_blocks: the r01 scheme was the fixed n_blocks=4
+    (4 bands x 16-bit keys = 65,536 buckets — quadratic at 10^12 docs);
+    n_blocks=6 gives 20 bands x >=31-bit keys (>=2^31 buckets), n_blocks=8
+    gives 56 bands x 40-bit keys, etc. Recall stays exactly 1.0 for
+    hamming <= max_hamming at every width (deterministic pigeonhole, no
+    probability involved)."""
+    import itertools
+
+    if not (max_hamming < n_blocks <= 64):
+        raise ValueError("need max_hamming < n_blocks <= 64")
+    return list(itertools.combinations(range(n_blocks), n_blocks - max_hamming))
+
+
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, max_hamming: int = 3, *, n_blocks: int = 6,
+    max_bucket: int | None = 512, expand_exact_dups: bool = True,
+    text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup candidate pairs with hamming(simhash) <= max_hamming via
-    4x16-bit band exact-match blocking + bit_count verify (both JVM)."""
-    sh = simhash(df, text_col, id_col)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-        )
-        for b in range(4)
-    ]
-    buckets = sh.select("id", "simhash", F.explode(F.array(*bands)).alias("bb")).select(
-        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    """Near-dup pairs with hamming(simhash) <= max_hamming: pigeonhole
+    block-combination blocking (see simhash_blocking_plan) + bit_count
+    verify, all JVM expressions after the simhash pass.
+
+    Same scale shape as minhash_lsh_pairs: identical-simhash groups are
+    pre-collapsed (map-side combine) so exact-dup clusters cost one
+    representative; buckets are size-capped; verified representative pairs
+    expand back to member pairs (cross pairs inherit the representatives'
+    hamming — equal simhash => equal distance to everything; intra pairs
+    are hamming 0)."""
+    return simhash_pairs_from_fingerprints(
+        simhash(df, text_col, id_col), max_hamming,
+        n_blocks=n_blocks, max_bucket=max_bucket,
+        expand_exact_dups=expand_exact_dups,
     )
-    x, y = buckets.alias("x"), buckets.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.id") < F.col("y.id")),
+
+
+def simhash_pairs_from_fingerprints(
+    sh: DataFrame, max_hamming: int = 3, *, n_blocks: int = 6,
+    max_bucket: int | None = 512, expand_exact_dups: bool = True,
+) -> DataFrame:
+    """simhash_pairs over a precomputed (id, simhash) table — useful when
+    fingerprints are stored (they are 8 bytes/doc; recomputing them is the
+    expensive part) and for property-testing the blocking directly."""
+    combos = simhash_blocking_plan(n_blocks, max_hamming)
+    base, rem = divmod(64, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col("simhash"), offs[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
         )
+
+    groups = sh.groupBy("simhash").agg(
+        F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            # xxhash64 of the selected block values: exact-match key for
+            # the combination (hash collisions only ADD candidates; the
+            # bit_count verify removes them, so recall stays 1.0)
+            F.xxhash64(*[block(i) for i in combo]).alias("bh"),
+        )
+        for bi, combo in enumerate(combos)
+    ]
+    buckets = groups.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = capped_candidate_pairs(buckets, max_bucket)
+    ga = groups.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    gb = groups.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    rep_pairs = (
+        F.broadcast(cand).join(ga, "id_a").join(gb, "id_b")
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.bit_count(
-                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-            ).alias("hamming"),
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not expand_exact_dups:
+        return rep_pairs
+    members = sh.select(F.col("simhash").alias("grp"), "id")
+    rg = groups.select(F.col("id").alias("rid"), F.col("simhash").alias("rgrp"))
+    pairs_g = (
+        F.broadcast(rep_pairs)
+        .join(rg.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
+        .join(rg.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
+        .select("grp_a", "grp_b", "hamming")
+    )
+    cross = (
+        members.select(F.col("grp").alias("grp_a"), F.col("id").alias("ia"))
+        .join(F.broadcast(pairs_g), "grp_a")
+        .join(
+            members.select(F.col("grp").alias("grp_b"), F.col("id").alias("ib")),
+            "grp_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    elig = groups.filter(F.col("csize") > 1).select(F.col("simhash").alias("grp"))
+    mi = members.join(elig, "grp")
+    xi, yi = mi.alias("xi"), mi.alias("yi")
+    intra = (
+        xi.join(
+            yi,
+            (F.col("xi.grp") == F.col("yi.grp"))
+            & (F.col("xi.id") < F.col("yi.id")),
+        )
+        .select(
+            F.col("xi.id").alias("id_a"),
+            F.col("yi.id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
