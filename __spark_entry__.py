@@ -196,6 +196,16 @@ def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS candidate pass -> exact verify of candidates only (the scale
+    path kernel/cms.py exists for): same output as heavy_hitters_exact,
+    but the shuffle carries only tokens whose CMS estimate clears phi*N
+    instead of the whole distinct-token tail."""
+    from tetrex_spark.operators.heavy_hitters import heavy_hitters_topk
+
+    return heavy_hitters_topk(_docs(spark, sf_dir), k=20, phi_num=1, phi_den=50)
+
+
 def q_distinct_shingles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct 3-shingle count per lang — the ground truth HLL
     approximates; exercises the shingle pipeline end-to-end."""
@@ -335,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "langid": q_langid,
         "heavy_hitters_exact": q_heavy_hitters_exact,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
         "distinct_shingles_by_lang": q_distinct_shingles_by_lang,
         "length_quantiles": q_length_quantiles,
         "ann_topk": q_ann_topk,
@@ -354,6 +365,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _URL = "'http://' || source || '.example/doc/' || doc_id"
 _TOKS = f"string_split({_NORM_SQL_DUCK}, ' ')"
+
+_HH_TOP20_SQL = f"""
+    with tok as (
+      select unnest({_TOKS}) as token from documents
+    ),
+    c as (select token, count(*) cnt from tok where token != '' group by 1),
+    r as (select token, cnt,
+                 row_number() over (order by cnt desc, token) as rank
+          from c)
+    select token, cnt, rank from r where rank <= 20
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -430,16 +452,9 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "langid": _LANGID_SQL,
-        "heavy_hitters_exact": f"""
-            with tok as (
-              select unnest({_TOKS}) as token from documents
-            ),
-            c as (select token, count(*) cnt from tok where token != '' group by 1),
-            r as (select token, cnt,
-                         row_number() over (order by cnt desc, token) as rank
-                  from c)
-            select token, cnt, rank from r where rank <= 20
-        """,
+        "heavy_hitters_exact": _HH_TOP20_SQL,
+        # same ground truth, different compute path (CMS-pruned candidates)
+        "heavy_hitters_cms": _HH_TOP20_SQL,
         "distinct_shingles_by_lang": f"""
             with toks as (select lang, {_TOKS} as t from documents),
             sh as (
