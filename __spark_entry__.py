@@ -246,21 +246,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine >= t via broadcast matmul (the LSH-blocked
-    variant is rows-only below — this corpus has no >=0.85 near-dups, so
-    the exact op is the oracle-able one)."""
-    from tetrex_spark.operators.similarity import cosine_pairs_exact
-
-    return cosine_pairs_exact(_emb(spark, sf_dir), COS_T).select("id_a", "id_b")
-
-
-def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH blocking + exact cosine verify (the 100 TB path)."""
+    """Hyperplane-LSH blocking + exact cosine verify — the 100 TB path
+    (fully distributed; no driver-side matrix broadcast). At this corpus's
+    moderate threshold the blocking must be few-planes/many-bands
+    (4 x 64: per-pair miss ~1.6e-5 at cos 0.4) for recall ~1; output
+    equals the exact all-pairs oracle."""
     from tetrex_spark.operators.similarity import hyperplane_lsh_pairs
 
     return hyperplane_lsh_pairs(
-        _emb(spark, sf_dir), dim=64, threshold=COS_T
+        _emb(spark, sf_dir), dim=64, n_planes=4, n_bands=64, threshold=COS_T
     ).select("id_a", "id_b")
+
+
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= t via broadcast matmul — the oracle twin
+    of the LSH entry above (O(n^2) compute but O(n*d) shuffle; capped at
+    ~1e6 rows, use the LSH path beyond)."""
+    from tetrex_spark.operators.similarity import cosine_pairs_exact
+
+    return cosine_pairs_exact(_emb(spark, sf_dir), COS_T).select("id_a", "id_b")
 
 
 # -- rows-only (non-SQL-expressible: sketch estimates & LSH internals) ------
@@ -350,7 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         # rows-only (sketch estimates / LSH internals are not ANSI SQL)
         "sketch_estimates": q_sketch_estimates,
         "simhash_pairs": q_simhash_pairs,
@@ -365,6 +369,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _URL = "'http://' || source || '.example/doc/' || doc_id"
 _TOKS = f"string_split({_NORM_SQL_DUCK}, ' ')"
+
+_EMB_PAIRS_SQL = f"""
+    select a.vec_id as id_a, b.vec_id as id_b
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where list_cosine_similarity(a.embedding::double[], b.embedding::double[])
+          >= {COS_T}
+"""
 
 _HH_TOP20_SQL = f"""
     with tok as (
@@ -490,12 +501,8 @@ def oracle_sql() -> dict[str, str]:
             )
             select query_id, vec_id, rank from r where rank <= {ANN_K}
         """,
-        "embedding_near_dup": f"""
-            select a.vec_id as id_a, b.vec_id as id_b
-            from embeddings a join embeddings b on a.vec_id < b.vec_id
-            where list_cosine_similarity(a.embedding::double[], b.embedding::double[])
-                  >= {COS_T}
-        """,
+        "embedding_near_dup": _EMB_PAIRS_SQL,
+        "embedding_near_dup_exact": _EMB_PAIRS_SQL,
     }
 
 

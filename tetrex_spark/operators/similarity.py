@@ -173,54 +173,34 @@ def hyperplane_lsh_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: random-hyperplane signature
     (vectorized matmul) -> bucket equi-join -> exact cosine verify.
 
     P(same bucket | angle θ) = (1 - θ/π)^n_planes per band; recall over
-    b bands is 1-(1-p)^b — blocking is probabilistic (tunable via
-    n_bands; default 8 gives ~0.999+ recall for cosine >= 0.95), and the
-    exact cosine verify keeps precision at 1."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bands, n_planes, dim))
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("band", T.IntegerType(), False),
-            T.StructField("sig", T.LongType(), False),
-        ]
-    )
+    b bands is 1-(1-p)^b — blocking is probabilistic (tunable), and the
+    exact cosine verify keeps precision at 1. Parameter regimes:
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            ids = pdf[id_col].to_numpy()
-            out = {id_col: [], "band": [], "sig": []}
-            weights = 1 << np.arange(n_planes, dtype=np.int64)
-            for b in range(n_bands):
-                bits = (M @ planes[b].T) > 0  # (n, n_planes)
-                sig = (bits.astype(np.int64) * weights).sum(axis=1)
-                out[id_col].extend(ids)
-                out["band"].extend([b] * len(ids))
-                out["sig"].extend(sig)
-            yield pd.DataFrame(out)
+      - high threshold (>= 0.9, the true near-dup regime): the default
+        12 planes x 8 bands — selective buckets, ~0.999+ recall at 0.95.
+      - moderate threshold (~0.4-0.6): blocking cannot be selective
+        (p_plane ~ 0.63 at cos 0.4), so use FEW planes x MANY bands
+        (e.g. 4 x 64: per-pair miss ~1.6e-5 at cos 0.4) and accept that
+        buckets are coarse — the verify join, not the blocking, does the
+        work. Equivalent cost to exact all-pairs but fully distributed
+        (no driver-side matrix broadcast), which is why the flagship
+        near-dup entry routes here rather than cosine_pairs_exact.
 
-    buckets = df.select(id_col, vec_col).mapInPandas(fn, schema)
-    x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
-        )
-        .distinct()
+    Buckets are size-capped like the MinHash path (whole-bucket drops;
+    report via operators.dedup.lsh_bucket_stats on lsh_buckets(...))."""
+    buckets = lsh_buckets(
+        df, dim=dim, n_planes=n_planes, n_bands=n_bands,
+        vec_col=vec_col, id_col=id_col, seed=seed,
     )
+    from .dedup import capped_candidate_pairs
+
+    cand = capped_candidate_pairs(buckets, max_bucket)
     lhs = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -234,10 +214,53 @@ def hyperplane_lsh_pairs(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # candidate side broadcast: two map-side joins against the corpus
+    # instead of shuffling the embedding table twice
     return (
-        cand.join(lhs, "id_a")
+        F.broadcast(cand).join(lhs, "id_a")
         .join(rhs, "id_b")
         .withColumn("cosine", dot / (norm_expr(F.col("va")) * norm_expr(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bh) hyperplane-signature bucket table — the same shape
+    operators.dedup.capped_candidate_pairs / lsh_bucket_stats consume."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands, n_planes, dim))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bh", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            out = {"id": [], "band": [], "bh": []}
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            for b in range(n_bands):
+                bits = (M @ planes[b].T) > 0  # (n, n_planes)
+                sig = (bits.astype(np.int64) * weights).sum(axis=1)
+                out["id"].extend(ids)
+                out["band"].extend([b] * len(ids))
+                out["bh"].extend(sig)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
