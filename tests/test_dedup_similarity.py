@@ -321,6 +321,37 @@ def test_analysis_stats(spark):
     assert abs(out[1]["stopword_ratio"] - 3 / 6) < 1e-9
 
 
+def test_winnow_fingerprints_match_naive(spark):
+    """Vectorized winnowing == per-doc reference implementation on edge
+    shapes: empty docs, shorter-than-k, exactly-window, long docs."""
+    from tetrex_spark.functions.analysis import winnow_fingerprints
+    from tetrex_spark.functions.text import normalize_series
+    from tetrex_spark.kernel.hashing import hash_char_kgrams
+
+    k, window = 5, 4
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz"]
+    docs = ["", "ab", "abcd", "abcde", "abcdefgh"]  # 0, <k, <k, ==k, k+window
+    for n in (3, 10, 40, 200):
+        docs.append(" ".join(words[i] for i in rng.integers(0, len(words), n)))
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["id"]: list(r["fingerprint"])
+           for r in winnow_fingerprints(df, k=k, window=window).collect()}
+    norm = normalize_series(pd.Series(docs))
+    for i, doc in enumerate(norm):
+        grams = hash_char_kgrams(doc, k)
+        if grams.size == 0:
+            want = []
+        elif grams.size <= window:
+            want = sorted({int(np.array([grams.min()]).view(np.int64)[0])})
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(grams, window)
+            want = sorted({int(x) for x in wins.min(axis=1).view(np.int64)})
+        assert got[i] == want, f"doc {i}"
+
+
 def test_winnow_fingerprints_overlap(spark):
     from tetrex_spark.functions.analysis import winnow_fingerprints
 

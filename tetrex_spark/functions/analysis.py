@@ -111,28 +111,56 @@ def winnow_fingerprints(
     """Winnowing (Schleimer/Wilkerson/Aiken 2003): per doc, the set of
     per-window minima over char k-gram rolling hashes — a compact,
     position-robust signature for plagiarism-style overlap detection.
-    Vectorized: sliding_window_view minima over the gram-hash array."""
-    from ..kernel.hashing import hash_char_kgrams
+
+    Fully vectorized over the Arrow batch: ONE hash_char_kgrams_series
+    pass for the whole batch (not one hash call per doc), sliding-window
+    minima over the concatenated gram array restricted to in-document
+    windows, then a batch-wide lexsort dedupe — no per-document Python."""
+    from ..kernel.hashing import concat_ranges, hash_char_kgrams_series
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             text = normalize_series(pdf[text_col])
-            ids, fps = [], []
-            for i, doc in zip(pdf[id_col].to_numpy(), text.to_numpy()):
-                grams = hash_char_kgrams(doc, k)
-                if grams.size == 0:
-                    ids.append(i)
-                    fps.append([])
-                    continue
-                if grams.size <= window:
-                    mins = np.array([grams.min()])
-                else:
-                    wins = np.lib.stride_tricks.sliding_window_view(grams, window)
-                    mins = wins.min(axis=1)
-                ids.append(i)
-                fps.append(sorted(set(int(x) for x in mins.view(np.int64))))
+            grams, counts = hash_char_kgrams_series(text, k)
+            n_docs = len(counts)
+            ids = pdf[id_col].to_numpy()
+            if grams.size == 0:
+                yield pd.DataFrame(
+                    {"id": ids, "fingerprint": [[] for _ in range(n_docs)]}
+                )
+                continue
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            doc_idx = np.arange(n_docs, dtype=np.int64)
+            # long docs (> window grams): all in-document sliding minima
+            long = counts > window
+            parts_doc, parts_val = [], []
+            if long.any() and grams.size >= window:
+                wins = np.lib.stride_tricks.sliding_window_view(grams, window)
+                mins_all = wins.min(axis=1)
+                n_wins = counts[long] - window + 1
+                parts_val.append(mins_all[concat_ranges(starts[long], n_wins)])
+                parts_doc.append(np.repeat(doc_idx[long], n_wins))
+            # short docs (1..window grams): single whole-doc minimum; the
+            # reduceat boundary list is every nonzero doc's start so each
+            # segment is exactly one document
+            nz = counts > 0
+            if nz.any():
+                doc_min = np.minimum.reduceat(grams, starts[nz])
+                short_of_nz = counts[nz] <= window
+                parts_val.append(doc_min[short_of_nz])
+                parts_doc.append(doc_idx[nz][short_of_nz])
+            vals = np.concatenate(parts_val).view(np.int64)
+            docs_of = np.concatenate(parts_doc)
+            # per-doc sorted distinct via one batch-wide lexsort
+            order = np.lexsort((vals, docs_of))
+            d_s, v_s = docs_of[order], vals[order]
+            keep = np.ones(d_s.size, dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+            d_u, v_u = d_s[keep], v_s[keep]
+            fps = np.split(v_u, np.cumsum(np.bincount(d_u, minlength=n_docs))[:-1])
             yield pd.DataFrame({"id": ids, "fingerprint": fps})
 
     return df.select(id_col, text_col).mapInPandas(fn, _FP_SCHEMA)

@@ -136,9 +136,14 @@ def image_features(df: DataFrame, codec: str = "fake") -> DataFrame:
             if pdf.empty:
                 continue
             out = {"media_id": [], "width": [], "height": [], "mean_rgb": [], "std_gray": []}
-            for _, r in pdf.iterrows():
-                img = _decode_image(bytes(r["payload"]), r["meta"], codec)
-                out["media_id"].append(r["media_id"])
+            # zip over column buffers, not iterrows (per-row Series
+            # construction is the slowest possible pandas iteration)
+            for mid, payload, meta in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(),
+                pdf["meta"].to_numpy(),
+            ):
+                img = _decode_image(bytes(payload), meta, codec)
+                out["media_id"].append(mid)
                 out["width"].append(img.shape[1])
                 out["height"].append(img.shape[0])
                 out["mean_rgb"].append([float(x) for x in img.mean(axis=(0, 1))])
@@ -158,16 +163,19 @@ def image_resize(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") -> 
             if pdf.empty:
                 continue
             rows = []
-            for _, r in pdf.iterrows():
-                img = _decode_image(bytes(r["payload"]), r["meta"], codec)
+            for mid, payload, rmeta in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(),
+                pdf["meta"].to_numpy(),
+            ):
+                img = _decode_image(bytes(payload), rmeta, codec)
                 yi = (np.arange(out_h) * img.shape[0] // out_h)
                 xi = (np.arange(out_w) * img.shape[1] // out_w)
                 resized = img[yi][:, xi]
-                meta = dict(r["meta"].asDict() if hasattr(r["meta"], "asDict") else r["meta"])
+                meta = dict(rmeta.asDict() if hasattr(rmeta, "asDict") else rmeta)
                 meta.update(width=out_w, height=out_h)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": mid,
                         "kind": "image",
                         "payload": resized.tobytes(),
                         "meta": meta,
@@ -195,10 +203,13 @@ def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
             if pdf.empty:
                 continue
             out = {"media_id": [], "duration_sec": [], "rms": [], "zero_crossings": []}
-            for _, r in pdf.iterrows():
-                x = _decode_audio(bytes(r["payload"]), r["meta"], codec)
-                sr = int(r["meta"]["sample_rate"])
-                out["media_id"].append(r["media_id"])
+            for mid, payload, meta in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(),
+                pdf["meta"].to_numpy(),
+            ):
+                x = _decode_audio(bytes(payload), meta, codec)
+                sr = int(meta["sample_rate"])
+                out["media_id"].append(mid)
                 out["duration_sec"].append(len(x) / sr)
                 out["rms"].append(float(np.sqrt((x**2).mean())))
                 out["zero_crossings"].append(int((np.diff(np.sign(x)) != 0).sum()))
@@ -227,10 +238,13 @@ def video_frame_sample(df: DataFrame, every_n: int = 2, codec: str = "fake") -> 
             if pdf.empty:
                 continue
             out = {"media_id": [], "frame_idx": [], "frame": []}
-            for _, r in pdf.iterrows():
-                vid = _decode_video(bytes(r["payload"]), r["meta"], codec)
+            for mid, payload, meta in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(),
+                pdf["meta"].to_numpy(),
+            ):
+                vid = _decode_video(bytes(payload), meta, codec)
                 for fi in range(0, vid.shape[0], every_n):
-                    out["media_id"].append(r["media_id"])
+                    out["media_id"].append(mid)
                     out["frame_idx"].append(fi)
                     out["frame"].append(vid[fi].tobytes())
             yield pd.DataFrame(out)
