@@ -151,3 +151,78 @@ def test_payload_roundtrip_via_spark(built):
     row = built.filter("name = 'tok_hll'").limit(1).collect()[0]
     sk = from_bytes(bytes(row["payload"]))
     assert sk.KIND == "hll"
+
+
+def test_salted_hot_hosts_build_merges_identical(spark):
+    """with_bin_id(salt_hot_hosts=...): h0 (owns half of webtext_small)
+    spreads over multiple bins; the global merge of all bins is
+    byte-identical to the unsalted build, and the hot bin shrinks."""
+    from tetrex_spark.sources.corpus import host_of_url, hot_hosts
+    from pyspark.sql import functions as F
+
+    base = webtext_small(spark)
+    hot = hot_hosts(base, N_BINS, factor=4.0)
+    assert hot == ["h0.example"]  # the planted skew
+
+    plain = with_bin_id(base, N_BINS)
+    salted = with_bin_id(base, N_BINS, salt_hot_hosts=hot, n_salt=4)
+    # the hot host now occupies > 1 bin
+    n_bins_hot = (
+        salted.filter(host_of_url(F.col("url")) == "h0.example")
+        .select("bin_id").distinct().count()
+    )
+    assert n_bins_hot > 1
+    # and its largest bin load strictly drops
+    def max_load(df):
+        return (
+            df.filter(host_of_url(F.col("url")) == "h0.example")
+            .groupBy("bin_id").count().agg(F.max("count")).collect()[0][0]
+        )
+    assert max_load(salted) < max_load(plain)
+
+    def global_merge(binned):
+        sks = collect_sketches(build_sketches(binned, specs()))
+        merged = {}
+        for (_, name), sk in sks.items():
+            merged[name] = sk if name not in merged else merged[name].merge(sk)
+        return merged
+
+    gs, gp = global_merge(salted), global_merge(plain)
+    # lattice sketches (bloom/hll/cms): byte-identical regardless of how
+    # keys were grouped into bins; kll/tdigest are estimate-stable only
+    # (their payload depends on merge grouping — documented invariant)
+    for name in ("tok_bloom", "tok_hll", "tok_cms"):
+        assert gs[name].to_bytes() == gp[name].to_bytes(), name
+    for name, sk in gs.items():
+        if hasattr(sk, "quantile"):
+            for q in (0.1, 0.5, 0.9):
+                a, b = sk.quantile(q), gp[name].quantile(q)
+                assert abs(a - b) <= 0.05 * max(abs(b), 1.0), (name, q)
+
+
+def test_salted_index_query_hit_set_unchanged(spark, tmp_path):
+    """Motif queries over a hot-host-salted index return the exact same
+    hit set (salted shards are ordinary bins; no query-side changes)."""
+    import re
+
+    from tetrex_spark.plans.planner import MotifIndex
+    from tetrex_spark.sources.corpus import hot_hosts
+
+    base = webtext_small(spark)
+    hot = hot_hosts(base, N_BINS, factor=4.0)
+    salted = with_bin_id(base, N_BINS, salt_hot_hosts=hot, n_salt=4)
+    idx = MotifIndex.build(salted, str(tmp_path / "idx_salt"), n_bins=N_BINS, k=3)
+    pdf = base.toPandas()
+    pdf["norm"] = corpus_text_series(pdf["text"], pdf["html"])
+    for pattern in ["w.{2}ld", "zyzzyva", "approximate membership"]:
+        rx = re.compile(pattern, re.IGNORECASE)
+        truth = {
+            (url, m.group(0), m.start(), m.end())
+            for url, doc in zip(pdf["url"], pdf["norm"])
+            for m in rx.finditer(doc)
+        }
+        got = {
+            (r["url"], r["match"], r["start"], r["end"])
+            for r in idx.query(salted, pattern).collect()
+        }
+        assert got == truth, pattern

@@ -86,8 +86,16 @@ class MotifIndex:
         bin_key=None,
     ) -> "MotifIndex":
         """`tetrex index` analog. Sizes the filters to the largest bin
-        (include/index_ibf.h:133-139) via a JVM-only pre-pass."""
-        binned = with_bin_id(corpus, n_bins, bin_key=bin_key)
+        (include/index_ibf.h:133-139) via a JVM-only pre-pass.
+
+        A corpus that already carries bin_id (e.g. hot-host-salted via
+        with_bin_id(salt_hot_hosts=...)) keeps its assignment — query()
+        honors the same rule, so build and prune always agree."""
+        binned = (
+            corpus
+            if "bin_id" in corpus.columns
+            else with_bin_id(corpus, n_bins, bin_key=bin_key)
+        )
         n_max = max_bin_cardinality(binned, "char_kgram", k)
         m_bits = bloom_m_bits(n_max, fpr)
         spec = SketchSpec(

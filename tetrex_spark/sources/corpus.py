@@ -183,13 +183,61 @@ def host_of_url(col):
     return F.parse_url(col, F.lit("HOST"))
 
 
-def with_bin_id(df: DataFrame, n_bins: int, bin_key=None) -> DataFrame:
+def with_bin_id(
+    df: DataFrame,
+    n_bins: int,
+    bin_key=None,
+    *,
+    salt_hot_hosts: list[str] | None = None,
+    n_salt: int = 8,
+) -> DataFrame:
     """Assign each row to a bin — the analog of one-FASTA-file-per-bin
     (/root/reference/include/index_base.h:26). Default key = host(url), so
     a host's pages land in one bin (TetRex's 'which bin may match' unit of
     retrieval becomes 'which host bucket may match').
 
     JVM-side xxhash64 + pmod: deterministic across runs and parallelism.
-    """
+
+    `salt_hot_hosts` is the explicit salted-repartitioning hook for skewed
+    hosts (north-rule clause): each listed host's key is suffixed with a
+    deterministic per-url salt in [0, n_salt), spreading that host over up
+    to n_salt bins. The sketch BUILD doesn't need it (partials are per
+    task), but the candidate-bin VERIFY scan does — an unsalted hot host
+    concentrates one bin's scan into however many splits hold it, while a
+    salted one both shrinks the scanned bin and lets queries prune the
+    host's salt-shards independently. Queries stay correct with no code
+    changes: salted shards are ordinary bins, each covered by its own
+    Bloom rows, and the global merge of all bins is byte-identical to the
+    unsalted build (merge associativity — property-tested). Feed the list
+    from `hot_hosts(...)` or lineage.skew_report metrics."""
     key = bin_key if bin_key is not None else host_of_url(F.col("url"))
+    if salt_hot_hosts:
+        hot = F.array(*[F.lit(h) for h in salt_hot_hosts])
+        key = F.when(
+            F.array_contains(hot, key),
+            F.concat(
+                key,
+                F.lit("#"),
+                F.pmod(F.xxhash64(F.col("url")), F.lit(n_salt)).cast("string"),
+            ),
+        ).otherwise(key)
     return df.withColumn("bin_id", F.pmod(F.xxhash64(key), F.lit(n_bins)).cast("int"))
+
+
+def hot_hosts(df: DataFrame, n_bins: int, factor: float = 4.0) -> list[str]:
+    """Hosts whose page count exceeds `factor` x the mean bin load — the
+    data-driven input to with_bin_id(salt_hot_hosts=...). One JVM-only
+    aggregate scan; at 100 TB run it on a sample or reuse the lineage
+    skew metrics instead."""
+    total = df.count()
+    if total == 0:
+        return []
+    bar = factor * total / n_bins
+    rows = (
+        df.select(host_of_url(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bar)
+        .collect()
+    )
+    return sorted(r["host"] for r in rows)
