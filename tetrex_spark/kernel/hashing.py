@@ -248,6 +248,37 @@ def hash_char_kgrams_series(
     return _finalize(raw, np.full(raw.size, k, dtype=np.int64), seed), counts
 
 
+def combine_dgram(left_h: np.ndarray, gap: int, right_h: np.ndarray) -> np.ndarray:
+    """(left 3-gram hash, gap length, right 3-gram hash) -> d-gram key,
+    position-weighted polynomial mix + splitmix finalize. One code path
+    for the vectorized build and the driver-side probe (plans/dgram.py).
+    The analog of the reference's gapped-gram code formula
+    (/root/reference/include/dGramIndex.h:231-238)."""
+    with np.errstate(over="ignore"):
+        acc = (
+            np.asarray(left_h, dtype=U64) * _POW[1]
+            + np.asarray(right_h, dtype=U64) * _POW[2]
+            + U64(gap) * _POW[3]
+        )
+        return splitmix64(acc)
+
+
+def dgram_keys_from_chargrams(
+    grams: np.ndarray, counts: np.ndarray, gap: int, pad: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated per-doc char-`pad`-gram hashes -> d-gram keys for one
+    gap, respecting document boundaries (no cross-doc pairs). Returns
+    (keys, per-doc key counts)."""
+    counts_g = np.maximum(counts - pad - gap, 0)
+    if counts_g.sum() == 0:
+        return np.zeros(0, dtype=U64), counts_g
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    keep = concat_ranges(starts, counts_g)
+    left = grams[keep]
+    right = grams[keep + pad + gap]
+    return combine_dgram(left, gap, right), counts_g
+
+
 def bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
     """Kirsch–Mitzenmacher double hashing: ``n_hashes`` positions per key.
 

@@ -38,11 +38,7 @@ from pyspark.sql import types as T
 
 from ..kernel import REGISTRY, from_bytes, pack_payload, unpack_payload
 from ..kernel.hashing import concat_ranges
-from ..functions.text import (
-    char_kgram_hashes_series,
-    corpus_text_series,
-    token_shingle_hashes_series,
-)
+from ..functions.text import corpus_text_series
 
 SKETCH_ROW_SCHEMA = T.StructType(
     [
@@ -53,8 +49,9 @@ SKETCH_ROW_SCHEMA = T.StructType(
     ]
 )
 
-KEY_SOURCES = ("token_shingle", "char_kgram", "token")
+KEY_SOURCES = ("token_shingle", "char_kgram", "token", "dgram")
 VALUE_SOURCES = ("doc_length_chars", "doc_length_tokens")
+DGRAM_PAD = 3  # fixed 3+3 d-gram pads, like the reference (dGramIndex.h)
 
 
 @dataclass(frozen=True)
@@ -63,8 +60,8 @@ class SketchSpec:
 
     name: str
     kind: str  # bloom | hll | cms | kll | tdigest
-    source: str  # token_shingle | char_kgram | token | doc_length_*
-    k: int = 3  # shingle/gram width (key sources only)
+    source: str  # token_shingle | char_kgram | token | dgram | doc_length_*
+    k: int = 3  # shingle/gram width; for source='dgram' the GAP length
     params: dict = field(default_factory=dict)
     seed: int = 42
 
@@ -96,6 +93,7 @@ class _BatchDerived:
     def __init__(self, text: pd.Series):
         self.text = text
         self._tok: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._chargrams: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
     def _token_hashes(self, seed: int) -> tuple[np.ndarray, np.ndarray]:
         got = self._tok.get(seed)
@@ -103,6 +101,16 @@ class _BatchDerived:
             from ..kernel.hashing import hash_ws_tokens_series
 
             got = self._tok[seed] = hash_ws_tokens_series(self.text, seed)
+        return got
+
+    def _char_grams(self, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._chargrams.get((k, seed))
+        if got is None:
+            from ..kernel.hashing import hash_char_kgrams_series
+
+            got = self._chargrams[(k, seed)] = hash_char_kgrams_series(
+                self.text, k, seed
+            )
         return got
 
     def extract(self, spec: SketchSpec) -> tuple[np.ndarray, np.ndarray]:
@@ -116,7 +124,15 @@ class _BatchDerived:
                 return np.zeros(0, dtype=np.uint64), np.zeros(len(self.text), np.int64)
             return _combine_shingles(th, counts_tok, k)
         if spec.source == "char_kgram":
-            return char_kgram_hashes_series(self.text, spec.k, spec.seed)
+            return self._char_grams(spec.k, spec.seed)
+        if spec.source == "dgram":
+            # spec.k is the GAP length; keys pair char-PAD-grams across it.
+            # The char-gram pass is cached, so a full gap range costs ONE
+            # gram hashing pass + cheap per-gap gathers.
+            from ..kernel.hashing import dgram_keys_from_chargrams
+
+            grams, counts = self._char_grams(DGRAM_PAD, spec.seed)
+            return dgram_keys_from_chargrams(grams, counts, spec.k, DGRAM_PAD)
         if spec.source == "doc_length_chars":
             vals = self.text.str.len().fillna(0).to_numpy(dtype=np.float64)
             return vals, np.ones(len(self.text), dtype=np.int64)

@@ -19,31 +19,20 @@ probe (same two-arity rule as every hash in this library).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..kernel.hashing import _POW, concat_ranges, hash_str, splitmix64
-from ..functions.text import corpus_text_series
+from ..kernel.hashing import combine_dgram, hash_str
 from ..kernel.bloom import bloom_m_bits
-from ..operators.sketch_build import SketchSpec
+from ..operators.sketch_build import DGRAM_PAD, SketchSpec
 from ..sources.sketch_store import BloomMatrix, read_manifest, read_sketch_rows
 
 DGRAM_PREFIX = "dgram_bloom_g"
-PAD = 3  # fixed 3+3 pads, like the reference (dGramIndex.h pad_ is fixed)
-
-
-def combine_dgram(left_h: np.ndarray, gap: int, right_h: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        acc = (
-            np.asarray(left_h, dtype=np.uint64) * _POW[1]
-            + np.asarray(right_h, dtype=np.uint64) * _POW[2]
-            + np.uint64(gap) * _POW[3]
-        )
-        return splitmix64(acc)
+PAD = DGRAM_PAD  # fixed 3+3 pads, like the reference (dGramIndex.h pad_)
 
 
 def dgram_key(left3: str, gap: int, right3: str, seed: int = 42) -> int:
-    """Driver-side single-key probe hash (== build path, one code path)."""
+    """Driver-side single-key probe hash (== build path, one code path:
+    kernel.hashing.combine_dgram serves both)."""
     return int(
         combine_dgram(
             np.array([hash_str(left3, seed)], dtype=np.uint64),
@@ -51,21 +40,6 @@ def dgram_key(left3: str, gap: int, right3: str, seed: int = 42) -> int:
             np.array([hash_str(right3, seed)], dtype=np.uint64),
         )[0]
     )
-
-
-def _doc_dgram_keys(
-    grams: np.ndarray, counts: np.ndarray, gap: int
-) -> np.ndarray:
-    """Concatenated per-doc char-3-gram hashes -> d-gram keys for one gap,
-    respecting document boundaries (no cross-doc pairs)."""
-    counts_g = np.maximum(counts - PAD - gap, 0)
-    if counts_g.sum() == 0:
-        return np.zeros(0, dtype=np.uint64)
-    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    keep = concat_ranges(starts, counts_g)
-    left = grams[keep]
-    right = grams[keep + PAD + gap]
-    return combine_dgram(left, gap, right)
 
 
 def build_dgram_index(
@@ -113,68 +87,26 @@ def build_dgram_index(
         else with_bin_id(corpus, n_bins, bin_key=bin_key)
     )
     # size by the largest bin's char count (upper bound on d-grams per gap)
-    from ..operators.sketch_build import SKETCH_ROW_SCHEMA, max_bin_cardinality
+    from ..operators.sketch_build import build_sketches, max_bin_cardinality
 
     n_max = max_bin_cardinality(binned, "char_kgram", PAD)
     m_bits = bloom_m_bits(n_max, fpr)
-    gaps = list(range(min_gap, max_gap + 1))
-
-    from ..kernel import BloomFilter
-    from ..kernel.hashing import hash_char_kgrams_series
-
-    def partials(batches):
-        acc: dict[tuple[int, int], BloomFilter] = {}
-        items: dict[tuple[int, int], int] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            text = corpus_text_series(
-                pdf["text"], pdf["html"] if "html" in pdf else None
-            )
-            bins = pdf["bin_id"].to_numpy(dtype=np.int64)
-            grams, counts = hash_char_kgrams_series(text, PAD, seed)
-            # group docs (not keys) by bin once, as in the main builder
-            doc_order = np.argsort(bins, kind="stable")
-            uniq, doc_firsts = np.unique(bins[doc_order], return_index=True)
-            for gap in gaps:
-                keys = _doc_dgram_keys(grams, counts, gap)
-                if keys.size == 0:
-                    continue
-                counts_g = np.maximum(counts - PAD - gap, 0)
-                key_starts = np.zeros(counts_g.size, dtype=np.int64)
-                np.cumsum(counts_g[:-1], out=key_starts[1:])
-                c_sorted = counts_g[doc_order]
-                sk = keys[concat_ranges(key_starts[doc_order], c_sorted)]
-                kcum = np.zeros(c_sorted.size + 1, dtype=np.int64)
-                np.cumsum(c_sorted, out=kcum[1:])
-                bounds = np.append(kcum[doc_firsts], sk.size)
-                for i, b in enumerate(uniq):
-                    seg = sk[bounds[i] : bounds[i + 1]]
-                    if seg.size == 0:
-                        continue
-                    kk = (int(b), gap)
-                    bf = acc.get(kk)
-                    if bf is None:
-                        bf = acc[kk] = BloomFilter(m_bits, n_hashes)
-                        items[kk] = 0
-                    bf.update(seg)
-                    items[kk] += seg.size
-        if acc:
-            yield pd.DataFrame(
-                {
-                    "bin_id": [k[0] for k in acc],
-                    "name": [f"{DGRAM_PREFIX}{k[1]}" for k in acc],
-                    "payload": [bf.to_bytes() for bf in acc.values()],
-                    "n_items": [items[k] for k in acc],
-                }
-            )
-
-    cols = ["bin_id", "text"] + (["html"] if "html" in corpus.columns else [])
-    rows = binned.select(*cols).mapInPandas(partials, SKETCH_ROW_SCHEMA)
-    from ..operators.sketch_build import _merger
-
-    merged = rows.groupBy("bin_id", "name").applyInPandas(_merger, SKETCH_ROW_SCHEMA)
-    merged.write.mode("append").partitionBy("name").parquet(f"{path}/rows")
+    # one SketchSpec per gap through the SHARED compact-partial builder:
+    # partials ship unique keys while that beats the bitmap and spill to
+    # dense past 2x (the bespoke builder here used to emit up to
+    # bins x gaps DENSE bitmaps per task — 1,344 per task at 64x21); the
+    # char-PAD-gram pass is computed once per batch and shared by every
+    # gap spec via the _BatchDerived cache, and the two-level merge tree
+    # caps fan-in exactly like the main build.
+    specs = [
+        SketchSpec(
+            f"{DGRAM_PREFIX}{gap}", "bloom", "dgram", k=gap,
+            params={"m_bits": m_bits, "n_hashes": n_hashes}, seed=seed,
+        )
+        for gap in range(min_gap, max_gap + 1)
+    ]
+    rows = build_sketches(binned, specs)
+    rows.write.mode("append").partitionBy("name").parquet(f"{path}/rows")
 
     if not manifest:
         from ..functions.text import TOKENIZER_VERSION
