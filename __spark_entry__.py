@@ -272,7 +272,20 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five mergeable sketch UDAFs end-to-end (A1-A3 + north-rule
-    additions): global estimates from per-bin merged sketches."""
+    additions): global estimates from per-bin merged sketches, emitted as
+    (name, exact, ok) so the DuckDB oracle hash-checks BOTH the exact
+    ground truth and the published-bound verdicts (the estimates
+    themselves are not ANSI-SQL-expressible; the bound checks are the
+    contract). Bounds mirror tests/test_kernel_sketches.py:
+    HLL 3*1.04/sqrt(2^p); CMS exact <= est <= exact + eps*N;
+    KLL rank error 3/k; t-digest rank error max(0.01, 4q(1-q)/delta);
+    Bloom |fill - (1-(1-1/m)^(h*D))| <= 0.01."""
+    import math
+
+    import numpy as np
+
+    from tetrex_spark.functions.text import hash_token_shingle
+    from tetrex_spark.operators.dedup import norm_col, shingles_col, tokens_col
     from tetrex_spark.operators.sketch_build import SketchSpec, build_sketches, collect_sketches
     from tetrex_spark.sources.corpus import with_bin_id
 
@@ -285,23 +298,80 @@ def q_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SketchSpec("bloom", "bloom", "token_shingle", k=3,
                    params={"m_bits": 1 << 18, "n_hashes": 3}),
     ]
-    rows = build_sketches(corpus, specs)
-    sks = collect_sketches(rows)
+    sks = collect_sketches(build_sketches(corpus, specs))
     merged: dict[str, object] = {}
     for (_, name), sk in sks.items():
         merged[name] = sk if name not in merged else merged[name].merge(sk)
-    from tetrex_spark.functions.text import hash_token_shingle
-    import numpy as np
+
+    # exact ground truths (JVM-only aggregates, same derivations as the
+    # DuckDB oracle)
+    toks = corpus.select(F.explode(tokens_col("text")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    n_tokens_stream = toks.count()
+    exact = {
+        "hll_distinct_3shingles": float(
+            corpus.select(F.explode(shingles_col("text", 3)).alias("g"))
+            .select(F.countDistinct("g")).collect()[0][0]
+        ),
+        "cms_count_the": float(toks.filter(F.col("t") == "the").count()),
+        "kll_median_tokens": float(
+            corpus.select(norm_col("text").alias("norm"))
+            .select(
+                F.when(F.length("norm") == 0, F.lit(0))
+                .otherwise(F.size(F.split(F.col("norm"), " "))).alias("nt")
+            )
+            .agg(F.expr("percentile(nt, 0.5)")).collect()[0][0]
+        ),
+        "tdigest_p90_chars": float(
+            corpus.select(F.length(norm_col("text")).alias("nc"))
+            .agg(F.expr("percentile(nc, 0.9)")).collect()[0][0]
+        ),
+    }
+    est = {
+        "hll_distinct_3shingles": float(merged["hll"].estimate()),
+        "cms_count_the": float(merged["cms"].estimate(
+            np.array([hash_token_shingle(["the"])], dtype=np.uint64))[0]),
+        "kll_median_tokens": float(merged["kll"].quantile(0.5)),
+        "tdigest_p90_chars": float(merged["td"].quantile(0.9)),
+    }
+    # bound verdicts
+    ok = {}
+    ok["hll_distinct_3shingles"] = (
+        abs(est["hll_distinct_3shingles"] - exact["hll_distinct_3shingles"])
+        <= 3 * 1.04 / math.sqrt(1 << 12) * exact["hll_distinct_3shingles"]
+    )
+    eps_n = merged["cms"].eps * n_tokens_stream
+    ok["cms_count_the"] = (
+        exact["cms_count_the"] <= est["cms_count_the"] <= exact["cms_count_the"] + eps_n
+    )
+    # quantile sketches: rank-error bounds against the sorted exact values
+    nt_vals = np.sort(np.array(
+        corpus.select(norm_col("text").alias("norm"))
+        .select(
+            F.when(F.length("norm") == 0, F.lit(0))
+            .otherwise(F.size(F.split(F.col("norm"), " "))).alias("v")
+        ).toPandas()["v"], dtype=np.float64
+    ))
+    nc_vals = np.sort(np.array(
+        corpus.select(F.length(norm_col("text")).alias("v")).toPandas()["v"],
+        dtype=np.float64,
+    ))
+    r_kll = np.searchsorted(nt_vals, est["kll_median_tokens"], side="right") / len(nt_vals)
+    ok["kll_median_tokens"] = abs(r_kll - 0.5) <= 3.0 / 200
+    r_td = np.searchsorted(nc_vals, est["tdigest_p90_chars"], side="right") / len(nc_vals)
+    ok["tdigest_p90_chars"] = abs(r_td - 0.9) <= max(0.01, 4 * 0.9 * 0.1 / 100.0)
+    # bloom: observed fill vs expected fill from the exact distinct count
+    d = exact["hll_distinct_3shingles"]
+    expected_fill = 1.0 - (1.0 - 1.0 / (1 << 18)) ** (3 * d)
+    exact["bloom_fill_ratio"] = round(expected_fill, 6)
+    ok["bloom_fill_ratio"] = abs(merged["bloom"].fill_ratio() - expected_fill) <= 0.01
 
     out = [
-        ("hll_distinct_3shingles", float(merged["hll"].estimate())),
-        ("cms_count_the", float(merged["cms"].estimate(
-            np.array([hash_token_shingle(["the"])], dtype=np.uint64))[0])),
-        ("kll_median_tokens", float(merged["kll"].quantile(0.5))),
-        ("tdigest_p90_chars", float(merged["td"].quantile(0.9))),
-        ("bloom_fill_ratio", float(merged["bloom"].fill_ratio())),
+        (name, round(float(exact[name]), 6), bool(ok[name]))
+        for name in sorted(exact)
     ]
-    return spark.createDataFrame(out, "name string, value double")
+    return spark.createDataFrame(out, "name string, exact double, ok boolean")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,14 +380,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+CANDIDATE_PATTERNS = [MOTIF_PATTERN, "wind+ow", "qu(e|a)ry stream"]
+
+
 def q_candidate_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 probe result as rows: (pattern, bin_id) candidate sets."""
+    """J1 probe correctness as an oracle-checkable superset property:
+    for each pattern, the distinct urls found by scanning ONLY the
+    candidate bins. Equality with the DuckDB full-corpus truth holds iff
+    the traversal's candidate set has recall 1 (no bin containing a match
+    was pruned) — the invariant the Bloom/NFA machinery must guarantee.
+    The raw (pattern, bin_id) sets remain visible via
+    MotifIndex.candidate_bins and the pruning tests."""
     idx = _motif_index(spark, sf_dir)
-    rows = []
-    for pat in [MOTIF_PATTERN, "wind+ow", "qu(e|a)ry stream"]:
-        for b in idx.candidate_bins(pat).bin_ids():
-            rows.append((pat, b))
-    return spark.createDataFrame(rows, "pattern string, bin_id int")
+    corpus = _corpus(spark, sf_dir)
+    out = None
+    for pat in CANDIDATE_PATTERNS:
+        hits = (
+            idx.query(corpus, pat)
+            .select(F.lit(pat).alias("pattern"), "url")
+            .distinct()
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,10 +439,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        # rows-only (sketch estimates / LSH internals are not ANSI SQL)
+        # oracle-checked via exact ground truth + bound verdicts
         "sketch_estimates": q_sketch_estimates,
-        "simhash_pairs": q_simhash_pairs,
         "candidate_bins": q_candidate_bins,
+        # rows-only (simhash internals / fingerprint sets / fake-codec
+        # features have no ANSI-SQL twin; property-tested in pytest)
+        "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "multimodal_features": q_multimodal_features,
     }
@@ -503,6 +589,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _EMB_PAIRS_SQL,
         "embedding_near_dup_exact": _EMB_PAIRS_SQL,
+        "candidate_bins": " union all ".join(
+            f"""
+            select '{p.replace("'", "''")}' as pattern, {_URL} as url
+            from documents
+            where regexp_matches({_NORM_SQL_DUCK}, '{p}')
+            """
+            for p in CANDIDATE_PATTERNS
+        ),
+        "sketch_estimates": f"""
+            with n as (select {_NORM_SQL_DUCK} as norm from documents),
+            t as (select norm,
+                         case when length(norm) = 0 then []::varchar[]
+                              else string_split(norm, ' ') end as toks
+                  from n),
+            sh as (
+              select distinct array_to_string(toks[i:i+2], ' ') as g
+              from t, unnest(range(1, len(toks) - 1)) r(i)
+              where len(toks) >= 3
+            ),
+            d as (select count(*) dd from sh),
+            tok as (select unnest(toks) as tk from t),
+            c_the as (select count(*) c from tok where tk = 'the')
+            select 'bloom_fill_ratio' as name,
+                   round(1.0 - pow(1.0 - 1.0/262144.0, 3 * dd), 6) as exact,
+                   true as ok from d
+            union all
+            select 'cms_count_the', round(c, 6), true from c_the
+            union all
+            select 'hll_distinct_3shingles', round(dd, 6), true from d
+            union all
+            select 'kll_median_tokens',
+                   round((select quantile_cont(len(toks), 0.5) from t), 6), true
+            union all
+            select 'tdigest_p90_chars',
+                   round((select quantile_cont(length(norm), 0.9) from t), 6), true
+        """,
     }
 
 
