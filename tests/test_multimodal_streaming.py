@@ -68,9 +68,63 @@ def test_video_frame_sample_cardinality(media):
     assert len(bytes(f0["frame"])) == 8 * 8 * 3
 
 
-def test_real_codec_raises_not_implemented(media):
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+def test_real_codec_raises_when_lib_absent(media):
+    """codec='real' must NEVER silently fall back to the fake decoder —
+    without the optional library it raises with an install hint."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL present; absence path not testable")
+    with pytest.raises(Exception, match="NotImplementedError|pillow"):
         image_features(media, codec="real").collect()
+
+
+def test_real_codec_dispatches_to_pil(monkeypatch):
+    """With PIL importable, codec='real' decodes via PIL.Image.open —
+    exercised with a stub module (the container ships no pillow); the
+    decode function is unit-tested directly because executor processes
+    don't see a driver-side monkeypatch."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from tetrex_spark.operators.multimodal import _decode_image
+
+    class _StubImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None):
+            a = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+            return a if dtype is None else a.astype(dtype)
+
+    stub = types.ModuleType("PIL.Image")
+    stub.open = lambda fh: _StubImg()
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = stub
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", stub)
+    out = _decode_image(b"\x89PNG fake bytes", {"height": 99, "width": 99, "channels": 3}, "real")
+    # shape comes from the decoded image, NOT the metadata (real path)
+    assert out.shape == (2, 3, 3) and out.dtype == np.uint8
+    assert out[1, 2, 2] == 17
+
+
+def test_real_audio_video_raise_when_libs_absent():
+    import importlib.util
+
+    import pytest as _pytest
+
+    from tetrex_spark.operators.multimodal import _decode_audio, _decode_video
+
+    if importlib.util.find_spec("soundfile") is None:
+        with _pytest.raises(NotImplementedError, match="soundfile"):
+            _decode_audio(b"", {}, "real")
+    if importlib.util.find_spec("av") is None:
+        with _pytest.raises(NotImplementedError, match="av"):
+            _decode_video(b"", {}, "real")
 
 
 # -- streaming ----------------------------------------------------------------

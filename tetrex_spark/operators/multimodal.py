@@ -45,17 +45,39 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-# -- codec layer (the stub boundary) -----------------------------------------
+# -- codec layer (the guarded-import boundary) --------------------------------
+#
+# codec="fake" (default) is a deterministic synthetic decoder, always
+# available and fully tested. codec="real" dispatches to an optional
+# library behind a guarded import: PIL (image), soundfile (audio),
+# av (video). When the library is present the real path decodes actual
+# media bytes; when absent it raises NotImplementedError with an install
+# hint — never a silent fallback to fake output.
+
+
+def _optional(module: str):
+    import importlib
+
+    try:
+        return importlib.import_module(module)
+    except ImportError:
+        return None
 
 
 def _decode_image(payload: bytes, meta, codec: str) -> np.ndarray:
     """-> (height, width, channels) uint8."""
-    h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
     if codec == "real":
-        raise NotImplementedError(
-            "real image decode requires PIL/imageio (not in this container); "
-            "use codec='fake' or install a codec and wire it here"
-        )
+        pil_image = _optional("PIL.Image")
+        if pil_image is None:
+            raise NotImplementedError(
+                "codec='real' image decode requires PIL (pip install pillow), "
+                "which is not present; use codec='fake'"
+            )
+        import io
+
+        img = pil_image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
     # deterministic fake: payload bytes tiled to the pixel buffer
     raw = np.frombuffer(payload, dtype=np.uint8)
     need = h * w * c
@@ -65,23 +87,39 @@ def _decode_image(payload: bytes, meta, codec: str) -> np.ndarray:
 def _decode_audio(payload: bytes, meta, codec: str) -> np.ndarray:
     """-> (n_samples,) float32 in [-1, 1]."""
     if codec == "real":
-        raise NotImplementedError(
-            "real audio decode requires soundfile/librosa (not in this "
-            "container); use codec='fake'"
-        )
+        sf = _optional("soundfile")
+        if sf is None:
+            raise NotImplementedError(
+                "codec='real' audio decode requires soundfile (pip install "
+                "soundfile), which is not present; use codec='fake'"
+            )
+        import io
+
+        data, _ = sf.read(io.BytesIO(payload), dtype="float32")
+        return data.mean(axis=1) if data.ndim > 1 else data  # downmix mono
     raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
     return (raw - 127.5) / 127.5
 
 
 def _decode_video(payload: bytes, meta, codec: str) -> np.ndarray:
     """-> (n_frames, height, width, channels) uint8."""
+    if codec == "real":
+        av = _optional("av")
+        if av is None:
+            raise NotImplementedError(
+                "codec='real' video decode requires av (pip install av), "
+                "which is not present; use codec='fake'"
+            )
+        import io
+
+        with av.open(io.BytesIO(payload)) as container:
+            frames = [
+                f.to_ndarray(format="rgb24")
+                for f in container.decode(video=0)
+            ]
+        return np.stack(frames)
     h, w, c, n = (int(meta["height"]), int(meta["width"]),
                   int(meta["channels"]), int(meta["n_frames"]))
-    if codec == "real":
-        raise NotImplementedError(
-            "real video decode requires av/decord (not in this container); "
-            "use codec='fake'"
-        )
     raw = np.frombuffer(payload, dtype=np.uint8)
     need = n * h * w * c
     return np.resize(raw, need).reshape(n, h, w, c)
