@@ -102,11 +102,13 @@ def main() -> None:
         "jaccard_pairs_lsh",
         "token_stats",
         "heavy_hitters_exact",
+        "heavy_hitters_cms",
         "distinct_shingles_by_lang",
         "length_quantiles",
         "ann_topk",
         "embedding_near_dup",
         "simhash_pairs",
+        "fingerprints",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

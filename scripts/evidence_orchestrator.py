@@ -1,0 +1,120 @@
+"""Burst-proof scaling-evidence orchestrator for the sandbox host.
+
+The host shows episodic FOREIGN load bursts (loadavg 3-12 with zero local
+processes, quiet windows of only a few minutes), which contaminate any
+multi-minute timing run. Loadavg gating fails because our own worker
+processes dominate loadavg. Instead each leg is gated on DIRECT foreign-
+CPU accounting: busy jiffies from /proc/stat minus this process tree's
+CPU (resource.getrusage RUSAGE_CHILDREN + RUSAGE_SELF deltas). A leg is
+accepted only if foreign CPU during it averaged < FOREIGN_CORES_MAX
+cores; otherwise it retries (next quiet window).
+
+Legs: the two Spark scaling levels (local[16] first — the noise-sensitive
+one), then the decomposition probe (cpu / membw / kernel at 1, 4, 16
+procs). Results land in /tmp/evidence_results.json as they are accepted.
+
+Usage: python scripts/evidence_orchestrator.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+HZ = os.sysconf("SC_CLK_TCK")
+FOREIGN_CORES_MAX = 1.0
+MAX_ATTEMPTS = 40
+QUIET_PRE = 2.0  # 1-min loadavg gate before starting an attempt
+
+
+def busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals) - vals[3] - vals[4]  # total minus idle+iowait
+
+
+def my_cpu() -> float:
+    a = resource.getrusage(resource.RUSAGE_SELF)
+    b = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+
+
+def load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def wait_quiet() -> None:
+    while load1() >= QUIET_PRE:
+        time.sleep(20)
+
+
+def gated(cmd: list[str], timeout: int = 1200) -> tuple[dict | None, float]:
+    """Run cmd; return (parsed last JSON line, foreign-cores during run)."""
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    b0, c0, t0 = busy_jiffies(), my_cpu(), time.time()
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=timeout)
+    dt = time.time() - t0
+    foreign = ((busy_jiffies() - b0) / HZ - (my_cpu() - c0)) / max(dt, 1e-9)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1]) if lines else None
+    return rec, foreign
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/evidence_results.json"
+    corpus_dir = "/tmp/tetrex_scaling_corpus"
+    results: dict = {"legs": {}, "foreign": {}}
+    legs: list[tuple[str, list[str]]] = [
+        ("spark_16", [sys.executable, str(REPO / "scripts/scaling.py"),
+                      "--worker", "16", corpus_dir]),
+        ("spark_4", [sys.executable, str(REPO / "scripts/scaling.py"),
+                     "--worker", "4", corpus_dir]),
+    ]
+    for kind in ("cpu", "membw", "kernel"):
+        for procs in (1, 4, 16):
+            legs.append((f"{kind}_{procs}",
+                         [sys.executable, str(REPO / "scripts/membw_probe.py"),
+                          "--leg", kind, str(procs)]))
+    for name, cmd in legs:
+        for attempt in range(MAX_ATTEMPTS):
+            wait_quiet()
+            rec, foreign = gated(cmd)
+            status = "ok" if (rec and foreign < FOREIGN_CORES_MAX) else "retry"
+            print(json.dumps({"leg": name, "attempt": attempt,
+                              "foreign_cores": round(foreign, 2),
+                              "status": status, "rec": rec}), flush=True)
+            if status == "ok":
+                results["legs"][name] = rec
+                results["foreign"][name] = round(foreign, 2)
+                Path(out_path).write_text(json.dumps(results, indent=1))
+                break
+        else:
+            results["legs"][name] = None
+    # summary
+    lg = results["legs"]
+    if lg.get("spark_4") and lg.get("spark_16"):
+        eff = lg["spark_16"]["docs_per_sec"] / (4 * lg["spark_4"]["docs_per_sec"])
+        results["spark_eff_4_to_16"] = round(eff, 3)
+    for kind in ("cpu", "membw", "kernel"):
+        a, b = lg.get(f"{kind}_4"), lg.get(f"{kind}_16")
+        o = lg.get(f"{kind}_1")
+        if a and b:
+            results[f"{kind}_eff_4_to_16"] = round(
+                b["agg_throughput"] / (4 * a["agg_throughput"]), 3)
+        if o and a:
+            results[f"{kind}_eff_1_to_4"] = round(
+                a["agg_throughput"] / (4 * o["agg_throughput"]), 3)
+    Path(out_path).write_text(json.dumps(results, indent=1))
+    print(json.dumps({k: v for k, v in results.items() if k != "legs"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,10 +120,13 @@ def main() -> None:
     hi = 4 * lo
     corpus_dir = "/tmp/tetrex_scaling_corpus"
     env = dict(os.environ, PYTHONPATH=str(REPO))
-    subprocess.run(
-        [sys.executable, __file__, "--prep", sf_dir, corpus_dir],
-        check=True, env=env, timeout=1800,
-    )
+    if not (Path(corpus_dir) / "_SUCCESS").exists():
+        # prep is untimed; reuse an existing materialization so the timed
+        # legs can land inside a short quiet window on this noisy host
+        subprocess.run(
+            [sys.executable, __file__, "--prep", sf_dir, corpus_dir],
+            check=True, env=env, timeout=1800,
+        )
     results = {}
     # high leg first: it is the noise-sensitive one (needs 4N of 32
     # threads free), so give it the front of whatever quiet window

@@ -41,17 +41,33 @@ np.seterr(**_old)
 
 
 def splitmix64(x: np.ndarray | int) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    """Vectorized splitmix64 finalizer (public-domain constant set).
+
+    In-place formulation: 2 buffers (result + one shift scratch) instead
+    of ~8 full-size temporaries — this runs over every key of every
+    sketch build, and allocator+DRAM traffic here is what the 16-slot
+    legs are starved of (bit-identical to the expression form)."""
     with np.errstate(over="ignore"):
-        z = np.asarray(x, dtype=U64) + U64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
-        return z ^ (z >> U64(31))
+        z = np.asarray(x, dtype=U64) + U64(0x9E3779B97F4A7C15)  # new array
+        t = np.empty_like(z)
+        np.right_shift(z, U64(30), out=t)
+        z ^= t
+        z *= U64(0xBF58476D1CE4E5B9)
+        np.right_shift(z, U64(27), out=t)
+        z ^= t
+        z *= U64(0x94D049BB133111EB)
+        np.right_shift(z, U64(31), out=t)
+        z ^= t
+        return z
 
 
 def _finalize(raw: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
     with np.errstate(over="ignore"):
-        return splitmix64(raw ^ (lengths.astype(U64) * _LEN_MIX) ^ U64(seed))
+        # ufunc upcast multiply: no explicit lengths.astype(U64) copy
+        mix = np.multiply(lengths, _LEN_MIX, dtype=U64, casting="unsafe")
+        mix ^= raw
+        mix ^= U64(seed)
+        return splitmix64(mix)
 
 
 def hash_bytes_buffer(
@@ -165,9 +181,13 @@ def hash_ws_tokens_series(
     itype = np.int32 if n < 2**31 else np.int64
     idx = np.arange(n, dtype=itype)
     last_reset = np.maximum.accumulate(np.where(reset, idx, itype(-1)))
-    g = (idx - last_reset) & (_POW_TABLE_SIZE - 1)
+    # in-place: g reuses last_reset's buffer (idx - last_reset, masked)
+    np.subtract(idx, last_reset, out=last_reset)
+    g = last_reset
+    g &= itype(_POW_TABLE_SIZE - 1)
     with np.errstate(over="ignore"):
-        w = buf.astype(U64) * _POW[g]
+        # ufunc upcast: no full-size buf.astype(U64) copy
+        w = np.multiply(buf, _POW[g], dtype=U64, casting="unsafe")
     w[is_ws] = U64(0)
     token_starts = np.flatnonzero(reset & ~is_ws)
     if token_starts.size == 0:
@@ -175,7 +195,7 @@ def hash_ws_tokens_series(
     raw = np.add.reduceat(w, token_starts)
     # token byte length = non-ws bytes in [start, next start): trailing ws
     # of a token (and nothing else) sits in its segment
-    nonws_cum = np.zeros(n + 1, dtype=np.int64)
+    nonws_cum = np.zeros(n + 1, dtype=itype)
     np.cumsum(~is_ws, out=nonws_cum[1:])
     seg_end = np.append(token_starts[1:], n)
     lengths = nonws_cum[seg_end] - nonws_cum[token_starts]
@@ -239,8 +259,10 @@ def hash_char_kgrams_series(
     bufu = buf.astype(U64)
     with np.errstate(over="ignore"):
         raw_all = bufu[:n_win] * _POW[0]
+        tmp = np.empty(n_win, dtype=U64)
         for j in range(1, k):
-            raw_all += bufu[j : n_win + j] * _POW[j]
+            np.multiply(bufu[j : n_win + j], _POW[j], out=tmp)
+            raw_all += tmp
     # valid window start positions per string, relative to buf
     starts = offsets[:-1] - base
     keep = concat_ranges(starts, counts)
