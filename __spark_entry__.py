@@ -414,6 +414,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate: per-doc repetition ratios,
+    symbol/word ratio, line-shape fractions and a keep(0/1) verdict —
+    pure JVM expressions, zero shuffle (functions/analysis.py)."""
+    from tetrex_spark.functions.analysis import repetition_quality
+
+    return repetition_quality(_docs(spark, sf_dir))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tetrex_spark.functions.analysis import winnow_fingerprints
 
@@ -436,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "distinct_shingles_by_lang": q_distinct_shingles_by_lang,
         "length_quantiles": q_length_quantiles,
+        "quality_filter": q_quality_filter,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -549,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "langid": _LANGID_SQL,
+        "quality_filter": _QUALITY_SQL,
         "heavy_hitters_exact": _HH_TOP20_SQL,
         # same ground truth, different compute path (CMS-pruned candidates)
         "heavy_hitters_cms": _HH_TOP20_SQL,
@@ -627,6 +638,61 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+
+_QUALITY_SQL = f"""
+with n as (
+  select doc_id as id, text, {_NORM_SQL_DUCK} as norm,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') as lines
+  from documents
+), w as (
+  select *, string_split(norm, ' ') as toks,
+    case when length(norm) = 0 then 0
+         else len(string_split(norm, ' ')) end as n_words
+  from n
+), b as (
+  select *, case when n_words >= 2
+    then list_transform(generate_series(1, n_words - 1),
+                        i -> toks[i] || ' ' || toks[i + 1])
+    else [] end as bigrams
+  from w
+), s as (
+  select id, n_words,
+    case when n_words = 0 then 0.0 else
+      round((length(norm) - (n_words - 1))::double / n_words, 6)
+    end as mean_word_len,
+    case when len(lines) = 0 then 0.0 else
+      round(1.0 - len(list_distinct(lines))::double / len(lines), 6)
+    end as dup_line_frac,
+    case when len(bigrams) = 0 then 0.0 else
+      round(list_max(list_transform(list_distinct(bigrams),
+              x -> len(list_filter(bigrams, y -> y = x))))::double
+            / len(bigrams), 6)
+    end as top_bigram_frac,
+    case when n_words = 0 then 0.0 else
+      round((length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) / 3)::double
+            / n_words, 6)
+    end as symbol_word_ratio,
+    case when len(lines) = 0 then 0.0 else
+      round(len(list_filter(lines,
+              l -> starts_with(l, '- ') or starts_with(l, '* ')))::double
+            / len(lines), 6)
+    end as frac_bullet_lines,
+    case when len(lines) = 0 then 0.0 else
+      round(len(list_filter(lines, l -> l like '%...'))::double
+            / len(lines), 6)
+    end as frac_ellipsis_lines
+  from b
+)
+select *,
+  (n_words between 50 and 100000
+   and mean_word_len between 3.0 and 10.0
+   and dup_line_frac <= 0.30 and top_bigram_frac <= 0.18
+   and symbol_word_ratio <= 0.10 and frac_bullet_lines <= 0.90
+   and frac_ellipsis_lines <= 0.30)::int as keep
+from s
+"""
 
 _LANGID_SQL = """
 with n as (select doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') as toks from documents),

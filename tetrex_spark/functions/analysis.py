@@ -94,6 +94,122 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+# -- repetition / quality-filter stats (Gopher-style, Rae et al. 2021) -------
+#
+# Classic web-text pipeline gates: repetition ratios (duplicate lines,
+# dominant word-bigram), symbol-to-word ratio, bullet/ellipsis line
+# fractions, word-count and mean-word-length bands. Every column is a
+# pure JVM expression (whole-stage codegen, zero shuffle, zero Python),
+# so the filter runs at scan speed and pushes the `keep` predicate into
+# any downstream plan. All thresholds follow the published Gopher rules.
+
+
+def _lines_col(c: str):
+    """Non-empty trimmed lines of the RAW text (repetition rules operate
+    on the original line structure, not the whitespace-collapsed norm)."""
+    return F.filter(
+        F.transform(F.split(F.col(c), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def _max_run_col(sorted_arr):
+    """Length of the longest run of equal adjacent elements in a sorted
+    array — i.e. the count of the most frequent element — via a single
+    O(n) fold (F.aggregate), no explode/shuffle."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition & quality gate frame: (id, n_words,
+    mean_word_len, dup_line_frac, top_bigram_frac, symbol_word_ratio,
+    frac_bullet_lines, frac_ellipsis_lines, keep).
+
+    `keep` (0/1) applies Gopher-style bands over the ROUNDED stats (both
+    engines round to 6 dp first, so the boolean is bit-deterministic):
+    50 <= n_words <= 100_000, 3 <= mean_word_len <= 10,
+    dup_line_frac <= 0.30, top_bigram_frac <= 0.18,
+    symbol_word_ratio <= 0.10, frac_bullet_lines <= 0.90,
+    frac_ellipsis_lines <= 0.30."""
+    # Base projection: normalize/tokenize/split ONCE per row. These
+    # columns are non-cheap and referenced more than once below, so
+    # Catalyst's CollapseProject keeps the boundary instead of
+    # re-inlining the tokenizer ~20x into every stat expression.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        norm_col(text_col).alias("_norm"),
+        _lines_col(text_col).alias("_lines"),
+    ).select(
+        "id", "_text", "_norm", "_lines",
+        F.split(F.col("_norm"), " ").alias("_toks"),
+        F.when(F.length("_norm") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("_norm"), " ")))
+        .alias("_n_words"),
+    )
+    text, norm, toks = F.col("_text"), F.col("_norm"), F.col("_toks")
+    lines, n_words = F.col("_lines"), F.col("_n_words")
+    n_lines = F.size(lines)
+    n_bigrams = F.greatest(n_words - 1, F.lit(0))
+    bigrams = F.when(n_words >= 2, F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )).otherwise(F.array().cast("array<string>"))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    stats = base.select(
+        F.col("id"),
+        n_words.alias("n_words"),
+        F.when(n_words == 0, F.lit(0.0)).otherwise(F.round(
+            (F.length(norm) - (n_words - 1)).cast("double") / n_words, 6
+        )).alias("mean_word_len"),
+        F.when(n_lines == 0, F.lit(0.0)).otherwise(F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines, 6
+        )).alias("dup_line_frac"),
+        F.when(n_bigrams == 0, F.lit(0.0)).otherwise(F.round(
+            _max_run_col(F.sort_array(bigrams)).cast("double") / n_bigrams, 6
+        )).alias("top_bigram_frac"),
+        F.when(n_words == 0, F.lit(0.0)).otherwise(F.round(
+            (n_hash + n_ellipsis).cast("double") / n_words, 6
+        )).alias("symbol_word_ratio"),
+        F.when(n_lines == 0, F.lit(0.0)).otherwise(F.round(
+            F.size(F.filter(
+                lines, lambda l: l.startswith("- ") | l.startswith("* ")
+            )).cast("double") / n_lines, 6
+        )).alias("frac_bullet_lines"),
+        F.when(n_lines == 0, F.lit(0.0)).otherwise(F.round(
+            F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+            / n_lines, 6
+        )).alias("frac_ellipsis_lines"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("dup_line_frac") <= 0.30)
+        & (F.col("top_bigram_frac") <= 0.18)
+        & (F.col("symbol_word_ratio") <= 0.10)
+        & (F.col("frac_bullet_lines") <= 0.90)
+        & (F.col("frac_ellipsis_lines") <= 0.30)
+    )
+    return stats.withColumn("keep", keep.cast("int"))
+
+
 # -- winnowing fingerprint (rolling-hash document signature) -----------------
 
 _FP_SCHEMA = T.StructType(
