@@ -424,10 +424,18 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints, value-checked: n_grams = |fingerprint set|
+    and fp_xor = xor-fold of the fingerprint values themselves, so the
+    DuckDB oracle (which re-derives the splitmix64 gram hashes + window
+    minima in pure SQL) verifies the actual hash values, not just counts."""
     from tetrex_spark.functions.analysis import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf_dir)).select(
-        "id", F.size("fingerprint").alias("n_grams")
+        "id",
+        F.size("fingerprint").alias("n_grams"),
+        F.aggregate(
+            "fingerprint", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        ).alias("fp_xor"),
     )
 
 
@@ -452,10 +460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked via exact ground truth + bound verdicts
         "sketch_estimates": q_sketch_estimates,
         "candidate_bins": q_candidate_bins,
-        # rows-only (simhash internals / fingerprint sets / fake-codec
-        # features have no ANSI-SQL twin; property-tested in pytest)
-        "simhash_pairs": q_simhash_pairs,
+        # oracle-checked: DuckDB re-derives the splitmix64 gram hashes +
+        # winnowing minima in pure SQL and xor-folds the values
         "fingerprints": q_fingerprints,
+        # rows-only (simhash internals / fake-codec features have no
+        # ANSI-SQL twin; property-tested in pytest)
+        "simhash_pairs": q_simhash_pairs,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -560,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid": _LANGID_SQL,
         "quality_filter": _QUALITY_SQL,
+        "fingerprints": _FINGERPRINTS_SQL,
         "heavy_hitters_exact": _HH_TOP20_SQL,
         # same ground truth, different compute path (CMS-pruned candidates)
         "heavy_hitters_cms": _HH_TOP20_SQL,
@@ -638,6 +649,81 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+
+# -- winnowing-fingerprint oracle: re-derives the kernel's splitmix64
+# char-5-gram hashes in pure SQL (HUGEINT mod-2^64 arithmetic), applies
+# the same window-4 minima + per-doc distinct, and xor-folds the values.
+# Matches kernel/hashing.py exactly for ASCII corpora (the synthetic
+# documents table is ASCII; ord(char) == utf-8 byte there).
+_FP_K, _FP_W = 5, 4
+_M64, _M32 = 1 << 64, 1 << 32
+_FP_POW = [pow(0x9E3779B97F4A7C15, j, _M64) for j in range(_FP_K)]
+_FP_LENMIX = (_FP_K * 0xC2B2AE3D27D4EB4F) % _M64
+_FP_SEED = 42
+
+
+def _mulmod_sql(a: str, b: int) -> str:
+    """(a * b) mod 2^64 over UBIGINT via 32-bit split in HUGEINT."""
+    bl, bh = b % _M32, b >> 32
+    return (
+        f"((({a} % 4294967296)::hugeint * {bl}"
+        f" + ((({a} >> 32)::hugeint * {bl}"
+        f" + ({a} % 4294967296)::hugeint * {bh}) % 4294967296)"
+        f" * 4294967296) % 18446744073709551616)::ubigint"
+    )
+
+
+_FP_RAW = " + ".join(
+    f"ord(substr(gram, {j + 1}, 1))::hugeint * {_FP_POW[j]}::hugeint"
+    for j in range(_FP_K)
+)
+
+_FINGERPRINTS_SQL = f"""
+with n as (select doc_id as id, {_NORM_SQL_DUCK} as norm from documents),
+g as (
+  select id, i as pos, substr(norm, i, {_FP_K}) as gram,
+         length(norm) - {_FP_K - 1} as n_grams
+  from n, unnest(generate_series(1, length(norm) - {_FP_K - 1})) u(i)
+  where length(norm) >= {_FP_K}
+),
+h0 as (select id, pos, n_grams,
+              (({_FP_RAW}) % 18446744073709551616)::ubigint as raw from g),
+h1 as (select id, pos, n_grams,
+              xor(xor(raw, {_FP_LENMIX}::ubigint), {_FP_SEED}::ubigint) as mix
+       from h0),
+s1 as (select id, pos, n_grams,
+              ((mix::hugeint + 11400714819323198485)
+               % 18446744073709551616)::ubigint as z from h1),
+s2 as (select id, pos, n_grams, xor(z, z >> 30) as z from s1),
+s3 as (select id, pos, n_grams, {_mulmod_sql('z', 0xBF58476D1CE4E5B9)} as z
+       from s2),
+s4 as (select id, pos, n_grams, xor(z, z >> 27) as z from s3),
+s5 as (select id, pos, n_grams, {_mulmod_sql('z', 0x94D049BB133111EB)} as z
+       from s4),
+hh as (select id, pos, n_grams, xor(z, z >> 31) as h from s5),
+w as (
+  select id, pos, n_grams, h,
+    min(h) over (partition by id order by pos
+                 rows between current row and {_FP_W - 1} following) as wmin
+  from hh
+),
+vals as (
+  select distinct id, wmin as v from w
+  where n_grams > {_FP_W} and pos <= n_grams - {_FP_W - 1}
+  union
+  select id, min(h) as v from w where n_grams <= {_FP_W} group by id
+),
+agg as (
+  select id, count(*) as n_grams,
+         bit_xor(case when v >= 9223372036854775808
+                 then (v::hugeint - 18446744073709551616)::bigint
+                 else v::bigint end) as fp_xor
+  from vals group by id
+)
+select n.id, coalesce(a.n_grams, 0) as n_grams,
+       coalesce(a.fp_xor, 0) as fp_xor
+from n left join agg a using (id)
+"""
 
 _QUALITY_SQL = f"""
 with n as (

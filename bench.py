@@ -101,6 +101,7 @@ def main() -> None:
         "exact_dedup",
         "jaccard_pairs_lsh",
         "token_stats",
+        "quality_filter",
         "heavy_hitters_exact",
         "heavy_hitters_cms",
         "distinct_shingles_by_lang",
