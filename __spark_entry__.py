@@ -460,12 +460,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked via exact ground truth + bound verdicts
         "sketch_estimates": q_sketch_estimates,
         "candidate_bins": q_candidate_bins,
-        # oracle-checked: DuckDB re-derives the splitmix64 gram hashes +
-        # winnowing minima in pure SQL and xor-folds the values
+        # oracle-checked: DuckDB re-derives the kernel's splitmix64 hash
+        # pipelines in pure SQL (HUGEINT mod-2^64 arithmetic) — winnowing
+        # gram hashes + window minima for fingerprints; per-token hashes +
+        # bit-majority votes + brute-force hamming join for simhash
         "fingerprints": q_fingerprints,
-        # rows-only (simhash internals / fake-codec features have no
-        # ANSI-SQL twin; property-tested in pytest)
         "simhash_pairs": q_simhash_pairs,
+        # rows-only (fake-codec features have no ANSI-SQL twin;
+        # property-tested in pytest)
         "multimodal_features": q_multimodal_features,
     }
 
@@ -571,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _LANGID_SQL,
         "quality_filter": _QUALITY_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "heavy_hitters_exact": _HH_TOP20_SQL,
         # same ground truth, different compute path (CMS-pruned candidates)
         "heavy_hitters_cms": _HH_TOP20_SQL,
@@ -723,6 +726,75 @@ agg as (
 select n.id, coalesce(a.n_grams, 0) as n_grams,
        coalesce(a.fp_xor, 0) as fp_xor
 from n left join agg a using (id)
+"""
+
+def _splitmix_ctes(src: str, in_expr: str, out_col: str, pfx: str,
+                   carry: list[str]) -> str:
+    """CTE chain applying the kernel's splitmix64 to in_expr (UBIGINT),
+    yielding out_col; carry columns pass through each stage. Sequential
+    stages (not one nested expression) because xor(z, z >> 30) uses z
+    twice — inlining would double the expression per stage."""
+    c = "".join(f"{x}, " for x in carry)
+    return (
+        f"{pfx}1 as (select {c}((({in_expr})::hugeint + 11400714819323198485)"
+        f" % 18446744073709551616)::ubigint as z from {src}),\n"
+        f"{pfx}2 as (select {c}xor(z, z >> 30) as z from {pfx}1),\n"
+        f"{pfx}3 as (select {c}{_mulmod_sql('z', 0xBF58476D1CE4E5B9)} as z from {pfx}2),\n"
+        f"{pfx}4 as (select {c}xor(z, z >> 27) as z from {pfx}3),\n"
+        f"{pfx}5 as (select {c}{_mulmod_sql('z', 0x94D049BB133111EB)} as z from {pfx}4),\n"
+        f"{pfx}6 as (select {c}xor(z, z >> 31) as {out_col} from {pfx}5)"
+    )
+
+
+# -- SimHash oracle: re-derives the kernel's 64-bit SimHash in pure SQL
+# (per-token polynomial hash -> splitmix64 -> 1-shingle mix -> splitmix64
+# -> per-bit majority votes), then emits ALL pairs with hamming <= 3 by
+# brute-force self-join — the ground truth the pigeonhole blocking must
+# reproduce exactly (recall 1.0, caps not triggered at test scale).
+_SIMHASH_LENMIX = 0xC2B2AE3D27D4EB4F
+_SIMHASH_POWS = "[" + ", ".join(
+    str(pow(0x9E3779B97F4A7C15, j, _M64)) for j in range(64)
+) + "]::ubigint[]"
+
+_SIMHASH_PAIRS_SQL = f"""
+with n as (select doc_id as id, {_NORM_SQL_DUCK} as norm from documents),
+pw as (select {_SIMHASH_POWS} as pows),
+tok as (
+  select id, t.tok as tok from n, unnest(string_split(norm, ' ')) as t(tok)
+  where length(norm) > 0
+),
+r0 as (
+  select id,
+    xor(xor(((length(tok)::hugeint * {_SIMHASH_LENMIX})
+             % 18446744073709551616)::ubigint,
+            (list_aggregate(list_transform(generate_series(1, length(tok)),
+               p -> ord(substr(tok, p, 1))::hugeint * pows[p]::hugeint),
+              'sum') % 18446744073709551616)::ubigint),
+        42::ubigint) as mix
+  from tok, pw
+),
+{_splitmix_ctes('r0', 'mix', 'h', 'sma', ['id'])},
+x0 as (select id, xor(h, 1::ubigint) as mix from sma6),
+{_splitmix_ctes('x0', 'mix', 'h', 'smb', ['id'])},
+bits as (
+  select id, j, sum(((h >> j) & 1)::int) as ones, count(*) as ntok
+  from smb6, unnest(generate_series(0, 63)) b(j)
+  group by id, j
+),
+fpu as (
+  select id,
+    (sum(case when 2 * ones > ntok then (1::ubigint << j)::hugeint
+         else 0::hugeint end) % 18446744073709551616)::ubigint as fp
+  from bits group by id
+),
+fp as (
+  select n.id, coalesce(f.fp, 0::ubigint) as fp
+  from n left join fpu f using (id)
+)
+select a.id as id_a, b.id as id_b,
+       bit_count(xor(a.fp, b.fp))::int as hamming
+from fp a join fp b on a.id < b.id
+where bit_count(xor(a.fp, b.fp)) <= 3
 """
 
 _QUALITY_SQL = f"""
