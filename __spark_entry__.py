@@ -150,6 +150,19 @@ def q_jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=JACCARD_K, threshold=JACCARD_T)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> per-doc cluster assignment + keep flag:
+    large-star/small-star connected components (operators/clusters.py)
+    over the MinHash-LSH pair list; oracle = recursive-CTE transitive
+    closure of the exact-Jaccard pair graph."""
+    from tetrex_spark.operators.clusters import dedup_keep_list
+    from tetrex_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=JACCARD_K, threshold=JACCARD_T)
+    return dedup_keep_list(docs, pairs)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tetrex_spark.functions.analysis import (
         char_count_col,
@@ -447,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_gap": q_motif_gap,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs_lsh": q_jaccard_pairs_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "token_stats": q_token_stats,
         "langid": q_langid,
         "heavy_hitters_exact": q_heavy_hitters_exact,
@@ -526,25 +540,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_dups
             from documents group by 1
         """,
-        "jaccard_pairs_lsh": f"""
-            with toks as (select doc_id, {_TOKS} as t from documents),
-            sh as (
-              select distinct doc_id, array_to_string(t[i:i+{JACCARD_K - 1}], ' ') as g
-              from toks, unnest(range(1, len(t) - {JACCARD_K - 2})) r(i)
-              where len(t) >= {JACCARD_K}
-            ),
-            sz as (select doc_id, count(*) n from sh group by 1),
-            inter as (
-              select a.doc_id ia, b.doc_id ib, count(*) c
-              from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id
-              group by 1, 2
-            )
-            select ia as id_a, ib as id_b,
-                   round(c * 1.0 / (sa.n + sb.n - c), 6) as jaccard
-            from inter
-            join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
-            where c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
-        """,
+        "jaccard_pairs_lsh": f"with {_JACCARD_CTES} select * from jp",
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "token_stats": f"""
             with n as (select doc_id, {_NORM_SQL_DUCK} as norm from documents),
             t as (select doc_id, norm,
@@ -727,6 +724,48 @@ select n.id, coalesce(a.n_grams, 0) as n_grams,
        coalesce(a.fp_xor, 0) as fp_xor
 from n left join agg a using (id)
 """
+
+# Exact n-gram-Jaccard pair CTEs, shared by the jaccard_pairs_lsh oracle
+# and the dedup_clusters oracle (which closes the pair graph).
+_JACCARD_CTES = f"""
+toks as (select doc_id, {_TOKS} as t from documents),
+sh as (
+  select distinct doc_id, array_to_string(t[i:i+{JACCARD_K - 1}], ' ') as g
+  from toks, unnest(range(1, len(t) - {JACCARD_K - 2})) r(i)
+  where len(t) >= {JACCARD_K}
+),
+sz as (select doc_id, count(*) n from sh group by 1),
+inter as (
+  select a.doc_id ia, b.doc_id ib, count(*) c
+  from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2
+),
+jp as (
+  select ia as id_a, ib as id_b,
+         round(c * 1.0 / (sa.n + sb.n - c), 6) as jaccard
+  from inter
+  join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
+  where c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+)"""
+
+# dedup_clusters oracle: transitive closure of the exact-Jaccard pair
+# graph via a recursive CTE; component = min reachable doc_id — the same
+# fixpoint the large-star/small-star rounds converge to.
+_DEDUP_CLUSTERS_SQL = f"""
+with recursive {_JACCARD_CTES},
+edges as (
+  select id_a as a, id_b as b from jp
+  union select id_b, id_a from jp
+),
+reach(id, r) as (
+  select doc_id, doc_id from documents
+  union
+  select rc.id, e.b from reach rc join edges e on e.a = rc.r
+),
+comp as (select id, min(r) as component from reach group by id)
+select id, component, (component = id)::int as keep from comp
+"""
+
 
 def _splitmix_ctes(src: str, in_expr: str, out_col: str, pfx: str,
                    carry: list[str]) -> str:

@@ -100,6 +100,7 @@ def main() -> None:
         "motif_gap",
         "exact_dedup",
         "jaccard_pairs_lsh",
+        "dedup_clusters",
         "token_stats",
         "quality_filter",
         "heavy_hitters_exact",

@@ -62,9 +62,14 @@ def gated(cmd: list[str], timeout: int = 1200) -> tuple[dict | None, float]:
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          timeout=timeout)
     dt = time.time() - t0
-    foreign = ((busy_jiffies() - b0) / HZ - (my_cpu() - c0)) / max(dt, 1e-9)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     rec = json.loads(lines[-1]) if lines else None
+    # subtree_cpu_sec = the leg's OWN unreaped-descendant CPU (the py4j
+    # JVM + pyspark workers, reported by scaling.py's /proc walk) — that
+    # CPU is invisible to RUSAGE_CHILDREN and must not count as foreign.
+    leg_subtree = float(rec.get("subtree_cpu_sec", 0.0)) if rec else 0.0
+    foreign = ((busy_jiffies() - b0) / HZ - (my_cpu() - c0) - leg_subtree) \
+        / max(dt, 1e-9)
     return rec, foreign
 
 

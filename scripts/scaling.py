@@ -59,6 +59,33 @@ def prep(sf_dir: str, out_dir: str) -> None:
     spark.stop()
 
 
+def _descendant_cpu_sec() -> float:
+    """CPU seconds consumed so far by every LIVE descendant of this
+    process (the py4j-launched JVM plus its pyspark daemons/workers),
+    via one /proc walk. Needed because the JVM is never reaped by this
+    Python process, so its CPU shows up in nobody's RUSAGE_CHILDREN —
+    without this, the evidence orchestrator counts the leg's own Spark
+    work as FOREIGN load and retries forever. utime+stime+cutime+cstime
+    per pid, so workers already reaped by a live daemon are included."""
+    hz = os.sysconf("SC_CLK_TCK")
+    ppid, cpu = {}, {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        ppid[int(p)] = int(rest[1])
+        cpu[int(p)] = sum(map(int, rest[11:15])) / hz
+    me, total, frontier = os.getpid(), 0.0, {os.getpid()}
+    while frontier:
+        frontier = {p for p, pp in ppid.items() if pp in frontier}
+        total += sum(cpu[p] for p in frontier)
+    return total
+
+
 def worker(cpus: int, corpus_dir: str) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -105,7 +132,8 @@ def worker(cpus: int, corpus_dir: str) -> None:
         dt = min(dt, time.time() - t0)
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sketch_rows": n_rows,
                       "build_sec": round(dt, 3),
-                      "docs_per_sec": round(n_docs / dt, 1)}))
+                      "docs_per_sec": round(n_docs / dt, 1),
+                      "subtree_cpu_sec": round(_descendant_cpu_sec(), 1)}))
 
 
 def main() -> None:

@@ -1,0 +1,81 @@
+"""connected_components (large-star/small-star) vs brute-force
+union-find on random graphs, chains (multi-round convergence), and the
+dedup_keep_list join semantics."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tetrex_spark.operators.clusters import (
+    connected_components,
+    dedup_keep_list,
+)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min reachable id
+    return {n: find(n) for n in nodes}
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    truth = _union_find(nodes, edges)
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert got == truth
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(40))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(35)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_long_chain_converges(spark):
+    # a 120-node path: worst-case diameter, exercises the O(log n) rounds
+    edges = [(i, i + 1) for i in range(120)]
+    _check(spark, edges)
+
+
+def test_two_components_and_duplicate_edges(spark):
+    edges = [(5, 3), (3, 9), (9, 5), (20, 21), (21, 20), (20, 21)]
+    _check(spark, edges)
+
+
+def test_keep_list_covers_unpaired_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 7)], "id_a long, id_b long"
+    )
+    out = {r.id: (r.component, r.keep) for r in dedup_keep_list(docs, pairs).collect()}
+    assert out == {
+        0: (0, 1), 1: (1, 1), 2: (2, 1), 3: (3, 1),
+        4: (1, 0), 5: (5, 1), 6: (1, 0), 7: (2, 0),
+    }
+    # exactly one keeper per component
+    keep = dedup_keep_list(docs, pairs)
+    per = keep.groupBy("component").agg(F.sum("keep").alias("k")).collect()
+    assert all(r.k == 1 for r in per)

@@ -1,0 +1,128 @@
+"""Connected components over near-duplicate pair lists — the step that
+turns pairwise dedup output into per-document cluster assignments (one
+canonical "keep" representative per cluster).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC 2014): provably converges in O(log n) rounds to a
+star forest rooted at each component's minimum node id, using only
+groupBy(min) + self-join per round — no driver-side graph state, no
+collect, so it runs at any scale the pair list itself fits. Each round
+is persisted and localCheckpoint-ed to truncate the iterative lineage
+(the classic iterative-Spark plan-explosion trap).
+
+The reference has no clustering step (its matches are per-query hits,
+tetrex/src/lib.rs-era scan-verify only); this is part of the
+training-pipeline extension (SURVEY §2.8): exact/minhash/simhash dedup
+all emit pairs, and a pipeline needs keep-lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """(src, dst) with src > dst, self-loops dropped, distinct."""
+    return (
+        pairs.select(
+            F.greatest(F.col(a), F.col(b)).alias("src"),
+            F.least(F.col(a), F.col(b)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Preserves connectivity, strictly reduces large
+    nodes' eccentricity."""
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = F.least(F.col("mn"), F.col("src"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the larger endpoint; for each node u, hang u
+    and all its smaller neighbors off min(N⁻(u) ∪ {u})."""
+    d = _canon_edges(e, "src", "dst")
+    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    moved = (
+        d.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    rehung = mins.select("src", F.col("m").alias("dst"))
+    return (
+        moved.union(rehung).where(F.col("src") != F.col("dst")).distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every id appearing in `pairs`, where
+    `component` is the minimum id reachable through the pair graph —
+    i.e. the cluster's canonical representative. Deterministic.
+
+    Terminates when a small-star round is a fixpoint (the edge set is a
+    star forest rooted at component minima); the paper bounds rounds at
+    O(log n). max_iter is a safety valve only."""
+    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        same = (
+            new.exceptAll(edges).isEmpty() and edges.exceptAll(new).isEmpty()
+        )
+        edges = new
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    roots = edges.select(F.col("dst").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    return edges.select(
+        F.col("src").alias("id"), F.col("dst").alias("component")
+    ).union(roots)
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, component, keep): every document of `docs`, its near-dup
+    cluster representative (itself when unpaired), and keep=1 iff it IS
+    the representative — the materialized decision a training pipeline
+    filters on."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn(
+            "keep", (F.col("component") == F.col("id")).cast("int")
+        )
+    )
