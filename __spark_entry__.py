@@ -436,6 +436,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_quality(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate: emails/IPv4/phone-like runs counted (on the
+    original text) and redacted in order; pure JVM regexp, zero shuffle."""
+    from tetrex_spark.functions.analysis import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, value-checked: n_grams = |fingerprint set|
     and fp_xor = xor-fold of the fingerprint values themselves, so the
@@ -468,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_shingles_by_lang": q_distinct_shingles_by_lang,
         "length_quantiles": q_length_quantiles,
         "quality_filter": q_quality_filter,
+        "pii_scrub": q_pii_scrub,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -569,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid": _LANGID_SQL,
         "quality_filter": _QUALITY_SQL,
+        "pii_scrub": _PII_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "heavy_hitters_exact": _HH_TOP20_SQL,
@@ -835,6 +845,27 @@ select a.id as id_a, b.id as id_b,
 from fp a join fp b on a.id < b.id
 where bit_count(xor(a.fp, b.fp)) <= 3
 """
+
+# PII-scrub oracle: same patterns, same order (counts on the original
+# text, sequential redaction) — Java regex and RE2 agree on these
+# lookaround-free patterns.
+def _pii_sql() -> str:
+    from tetrex_spark.functions.analysis import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::int as n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, rep in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return f"""
+        select doc_id as id, {clean} as clean_text, {counts}
+        from documents
+    """
+
+
+_PII_SQL = _pii_sql()
 
 _QUALITY_SQL = f"""
 with n as (

@@ -210,6 +210,36 @@ def repetition_quality(
     return stats.withColumn("keep", keep.cast("int"))
 
 
+# -- PII scrubbing (training-data redaction gate) ----------------------------
+#
+# Conservative patterns chosen to behave identically under Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes + bounded repeats
+# only, no lookaround. Counts are taken BEFORE redaction; replacements
+# are applied in list order (replacement tokens contain no digits or
+# '@', so later patterns cannot match earlier redactions).
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean_text, n_email, n_ipv4, n_phone): redact emails, IPv4
+    addresses and phone-like digit runs; pure JVM expressions (one
+    regexp_count + regexp_replace per pattern), zero shuffle."""
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(text_col, F.lit(pat)).alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, rep)
+    return df.select(
+        F.col(id_col).alias("id"), clean.alias("clean_text"), *counts
+    )
+
+
 # -- winnowing fingerprint (rolling-hash document signature) -----------------
 
 _FP_SCHEMA = T.StructType(
