@@ -30,7 +30,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 N_BINS = 64
-REPL = 256  # document replication factor (bulk: 256 x 5000 = 1.28M docs)
+# document replication factor: 1024 x 5000 = 5.12M docs. Sized so the
+# noise-sensitive 4N leg runs ~30-40 s — long enough that fixed two-stage
+# job latency (~1.3 s) costs <4% of the ratio (at 1.28M docs it cost ~11%)
+# but short enough to fit this host's few-minute quiet windows.
+REPL = int(os.environ.get("SCALING_REPL", "1024"))
 
 
 def prep(sf_dir: str, out_dir: str) -> None:
@@ -87,6 +91,13 @@ def _descendant_cpu_sec() -> float:
 
 
 def worker(cpus: int, corpus_dir: str) -> None:
+    # Bind this leg's WHOLE process tree (driver, JVM incl. GC/netty/
+    # compression threads, pyspark workers) to exactly `cpus` CPUs — the
+    # faithful emulation of the north rule's "N vs 4N cores" criterion.
+    # An unbound local[4] JVM quietly borrows extra cores for GC and
+    # shuffle threads that a real 4-core node would not have.
+    os.sched_setaffinity(0, set(range(cpus)))
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -101,8 +112,12 @@ def worker(cpus: int, corpus_dir: str) -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         # identical split grain at both levels: scan parallelism must come
-        # from the data, not from the core count
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        # from the data, not from the core count. 16 MB splits measured
+        # best at local[16]: 4 MB splits produce 4x the map tasks, whose
+        # per-task (bin, spec) partials sit just UNDER the dense-spill
+        # threshold — ~1.8 GB of compact bloom partials shuffled vs
+        # ~256 MB of dense bitmaps at 16 MB splits (99k -> 125k docs/s).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -146,7 +161,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     lo = int(os.environ.get("SCALING_N", "4"))
     hi = 4 * lo
-    corpus_dir = "/tmp/tetrex_scaling_corpus"
+    corpus_dir = f"/tmp/tetrex_scaling_corpus_r{REPL}"
     env = dict(os.environ, PYTHONPATH=str(REPO))
     if not (Path(corpus_dir) / "_SUCCESS").exists():
         # prep is untimed; reuse an existing materialization so the timed
@@ -189,7 +204,7 @@ def main() -> None:
 Same job, same input, fresh JVM per level ({time.strftime('%Y-%m-%d')}):
 full 5-kind sketch build+merge (bloom 2^20 bits, hll p=12, cms 2048x5,
 kll k=200, t-digest d=100) over {r8['n_docs']:,} replicated-document docs
-({sf_dir}), {N_BINS} bins, fixed 256-file input layout.
+({sf_dir}), {N_BINS} bins, fixed 128-file input layout.
 
 | parallelism | build wall (s) | docs/sec |
 |---|---|---|

@@ -27,6 +27,7 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -227,15 +228,22 @@ def _partial_builder(specs: list[SketchSpec], has_html: bool):
     dense = {s.name: _dense_bytes(s) for s in specs}
     by_name = {s.name: s for s in specs}
 
+    # Cache tiling: an Arrow batch (10k docs) spawns per-stage uint64
+    # temporaries ~10-30x the text bytes; at full batch size every stage
+    # round-trips DRAM, and DRAM bandwidth is the shared resource that
+    # caps 4->16-slot scaling on one socket (see scripts/membw_probe.py).
+    # Processing a cache-sized slice of documents at a time keeps the
+    # hash/shingle intermediates L2/L3-resident; the (bin, spec) buffers
+    # already accumulate across slices, so output is unchanged.
+    chunk_docs = int(os.environ.get("TETREX_CHUNK_DOCS", "2048"))
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (bin, spec) -> either buffered arrays or a materialized sketch
         bufs: dict[tuple[int, str], list[np.ndarray]] = {}
         buf_bytes: dict[tuple[int, str], int] = {}
         sketches: dict[tuple[int, str], object] = {}
         items: dict[tuple[int, str], int] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        def _consume_chunk(pdf: pd.DataFrame) -> None:
             text = corpus_text_series(
                 pdf["text"], pdf["html"] if has_html and "html" in pdf else None
             )
@@ -274,6 +282,16 @@ def _partial_builder(specs: list[SketchSpec], has_html: bool):
                         allv = np.concatenate(bufs.pop(kk))
                         buf_bytes.pop(kk)
                         sketches[kk] = _update_sketch(spec, spec.make(), allv, None)
+
+        for whole in batches:
+            if whole.empty:
+                continue
+            if len(whole) <= chunk_docs:
+                _consume_chunk(whole)
+            else:
+                for lo in range(0, len(whole), chunk_docs):
+                    _consume_chunk(whole.iloc[lo : lo + chunk_docs])
+
         out = {"bin_id": [], "name": [], "payload": [], "n_items": []}
         for kk, sk in sketches.items():
             out["bin_id"].append(kk[0])
