@@ -367,3 +367,22 @@ def test_winnow_fingerprints_overlap(spark):
     sim12 = len(fp[1] & fp[2]) / len(fp[1] | fp[2])
     sim13 = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
     assert sim12 > 0.5 > sim13
+
+
+def test_blocked_cosine_pairs_equal_exact(vectors):
+    """cosine_pairs_blocked (distributed BLAS block pairs) == the
+    broadcast exact path, pairs AND rounded cosine values, including
+    cross-block and within-block (triu) cases."""
+    from tetrex_spark.operators.similarity import cosine_pairs_blocked
+
+    df, _ = vectors
+    for t, block in ((0.4, 16), (0.9, 1000)):
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in cosine_pairs_blocked(df, t, block=block).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 6))
+            for r in cosine_pairs_exact(df, t).collect()
+        }
+        assert got == want and len(want) > 0

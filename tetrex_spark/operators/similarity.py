@@ -163,6 +163,99 @@ def cosine_pairs_exact(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, FULLY distributed: vectors are
+    hashed into ~`block`-row blocks, each block is packed once into a
+    row-normalized float64 matrix, and every block pair (b1 <= b2) does
+    ONE BLAS matmul and emits only surviving (id_a < id_b) pairs.
+
+    This is the moderate-threshold scale path: below cosine ~0.85
+    hyperplane blocking cannot be selective (p_plane ~0.63 at cos 0.4 —
+    the bucket join degenerates to ~all pairs, but pays it in millions
+    of interpreted per-candidate dot products). Here the same O(n^2)
+    verify work runs as dense matmul: no driver-side matrix (unlike
+    cosine_pairs_exact), no per-pair expression evaluation, shuffle =
+    O(n*d + blocks^2 * block*d). Keep hyperplane_lsh_pairs for the true
+    near-dup regime (threshold >= ~0.9) where blocking prunes."""
+    import math
+
+    n = df.count()
+    nblocks = max(1, math.ceil(n / block))
+    packed_schema = T.StructType(
+        [
+            T.StructField("b", T.IntegerType(), False),
+            T.StructField("ids", T.BinaryType(), False),
+            T.StructField("mat", T.BinaryType(), False),
+        ]
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {"b": [key[0]], "ids": [ids.tobytes()], "mat": [M.tobytes()]}
+        )
+
+    blocks = (
+        df.select(id_col, vec_col)
+        .withColumn(
+            "b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int")
+        )
+        .groupBy("b")
+        .applyInPandas(pack, packed_schema)
+    )
+    rhs = blocks.select(
+        F.col("b").alias("b2"), F.col("ids").alias("ids2"),
+        F.col("mat").alias("mat2"),
+    )
+    # the packed table is nblocks rows of ~block*d*8 bytes; broadcast the
+    # right side so every (b1 <= b2) pairing is a map-side join
+    pairs = blocks.join(F.broadcast(rhs), F.col("b") <= F.col("b2"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples():  # a handful of block pairs per batch
+                ids1 = np.frombuffer(r.ids, np.int64)
+                ids2 = np.frombuffer(r.ids2, np.int64)
+                A = np.frombuffer(r.mat, np.float64).reshape(len(ids1), -1)
+                B = np.frombuffer(r.mat2, np.float64).reshape(len(ids2), -1)
+                S = A @ B.T
+                if r.b == r.b2:
+                    ii, jj = np.triu_indices(len(ids1), k=1)
+                    keep = S[ii, jj] >= threshold
+                    ii, jj = ii[keep], jj[keep]
+                else:
+                    ii, jj = np.nonzero(S >= threshold)
+                ia, ib = ids1[ii], ids2[jj]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine": S[ii, jj]}
+                )
+
+    return (
+        pairs.mapInPandas(emit, out_schema)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     *,
