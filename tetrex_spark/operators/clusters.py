@@ -82,15 +82,29 @@ def connected_components(
     Terminates when a small-star round is a fixpoint (the edge set is a
     star forest rooted at component minima); the paper bounds rounds at
     O(log n). max_iter is a safety valve only."""
+    def _sig(e: DataFrame) -> tuple:
+        """(count, xor-fold of edge hashes) of a distinct edge set: one
+        cheap aggregate instead of two exceptAll anti-join shuffles per
+        round. Both rounds' sets are distinct by construction, so equal
+        signatures mean equal sets up to a ~2^-64 xor collision — and a
+        false positive merely ends one round early at an
+        already-fixpoint-in-practice edge set. (bit_xor, not sum: sum
+        of hashes overflows long under ANSI mode.)"""
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
     edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    sig = _sig(edges)
     for _ in range(max_iter):
         new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        same = (
-            new.exceptAll(edges).isEmpty() and edges.exceptAll(new).isEmpty()
-        )
+        new_sig = _sig(new)
         edges = new
-        if same:
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
