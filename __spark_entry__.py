@@ -446,6 +446,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(_docs(spark, sf_dir))
 
 
+def q_gram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 analog (k-mer -> string debug decode): the observed
+    (gram, splitmix64 hash) mapping, value-checked against a pure-SQL
+    re-derivation of the kernel hash."""
+    from tetrex_spark.functions.analysis import gram_decode_table
+
+    return gram_decode_table(_docs(spark, sf_dir))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, value-checked: n_grams = |fingerprint set|
     and fp_xor = xor-fold of the fingerprint values themselves, so the
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-majority votes + brute-force hamming join for simhash
         "fingerprints": q_fingerprints,
         "simhash_pairs": q_simhash_pairs,
+        "gram_decode": q_gram_decode,
         # rows-only (fake-codec features have no ANSI-SQL twin;
         # property-tested in pytest)
         "multimodal_features": q_multimodal_features,
@@ -583,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "gram_decode": _GRAM_DECODE_SQL,
         "heavy_hitters_exact": _HH_TOP20_SQL,
         # same ground truth, different compute path (CMS-pruned candidates)
         "heavy_hitters_cms": _HH_TOP20_SQL,
@@ -796,6 +807,32 @@ def _splitmix_ctes(src: str, in_expr: str, out_col: str, pfx: str,
         f"{pfx}6 as (select {c}xor(z, z >> 31) as {out_col} from {pfx}5)"
     )
 
+
+# -- gram-decode oracle (F12 analog): distinct (gram, splitmix64 hash)
+# pairs re-derived in SQL — hash-checks that the decode table maps every
+# observed gram to exactly the kernel's hash.
+_GRAM_DECODE_SQL = f"""
+with n as (select {_NORM_SQL_DUCK} as norm from documents),
+g as (
+  select substr(norm, i, {_FP_K}) as gram
+  from n, unnest(generate_series(1, length(norm) - {_FP_K - 1})) u(i)
+  where length(norm) >= {_FP_K}
+),
+h0 as (select distinct gram,
+              (({_FP_RAW}) % 18446744073709551616)::ubigint as raw from g),
+h1 as (select gram,
+              xor(xor(raw, {_FP_LENMIX}::ubigint), {_FP_SEED}::ubigint) as mix
+       from h0),
+{{SM}}
+select gram,
+       (case when h >= 9223372036854775808
+             then (h::hugeint - 18446744073709551616)::bigint
+             else h::bigint end) as gram_hash
+from gd6
+"""
+_GRAM_DECODE_SQL = _GRAM_DECODE_SQL.format(
+    SM=_splitmix_ctes("h1", "mix", "h", "gd", ["gram"])
+)
 
 # -- SimHash oracle: re-derives the kernel's 64-bit SimHash in pure SQL
 # (per-token polynomial hash -> splitmix64 -> 1-shingle mix -> splitmix64

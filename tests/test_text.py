@@ -90,3 +90,21 @@ def test_determinism_across_chunkings():
         for i in range(0, 100, 10)
     ]
     assert np.array_equal(full, np.concatenate(parts))
+
+
+def test_gram_decode_table_matches_driver_hash(spark):
+    """F12 analog: every (gram, hash) row of the decode table reproduces
+    the driver-side single-gram hash, and covers exactly the distinct
+    grams of the corpus."""
+    from tetrex_spark.functions.analysis import gram_decode_table
+
+    docs = [(0, "abcdefg"), (1, "the cat sat"), (2, "abcd")]  # doc 2: < k
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.gram: r.gram_hash for r in gram_decode_table(df, k=5).collect()}
+    want = set()
+    for _, t in docs:
+        t = normalize_query(t)
+        want |= {t[i : i + 5] for i in range(len(t) - 4)}
+    assert set(rows) == want
+    for g, h in rows.items():
+        assert h == np.int64(np.uint64(hash_char_kgram(g)))

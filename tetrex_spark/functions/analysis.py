@@ -250,6 +250,52 @@ _FP_SCHEMA = T.StructType(
 )
 
 
+def gram_decode_table(
+    df: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(gram, gram_hash): the char-k-gram -> splitmix64-hash mapping
+    actually present in the corpus — the analog of the reference's
+    k-mer -> string debug decode (tetrex's hashes2dna; ours are
+    non-invertible by design, so we materialize the observed mapping
+    instead). Distinct per batch and again globally.
+
+    Vectorized hashing (one hash_char_kgrams_series pass per batch);
+    gram STRINGS are sliced only for each batch-unique hash — a loop
+    bounded by the gram vocabulary, not the corpus."""
+    from ..kernel.hashing import hash_char_kgrams_series
+
+    schema = T.StructType(
+        [
+            T.StructField("gram", T.StringType(), False),
+            T.StructField("gram_hash", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = normalize_series(pdf[text_col])
+            grams, counts = hash_char_kgrams_series(text, k)
+            if grams.size == 0:
+                continue
+            uniq, first = np.unique(grams, return_index=True)
+            # map each representative gram position back to (doc, offset)
+            ends = np.cumsum(counts)
+            doc_of = np.searchsorted(ends, first, side="right")
+            starts = ends - counts
+            offs = first - starts[doc_of]
+            texts = text.to_numpy()
+            strs = [texts[d][o : o + k] for d, o in zip(doc_of, offs)]
+            yield pd.DataFrame(
+                {"gram": strs, "gram_hash": uniq.view(np.int64)}
+            )
+
+    return (
+        df.select(text_col).mapInPandas(fn, schema).distinct()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, k: int = 5, window: int = 4,
     text_col: str = "text", id_col: str = "doc_id",
