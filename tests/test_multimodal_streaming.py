@@ -169,3 +169,49 @@ def test_stream_equals_batch(spark, tmp_path):
         for r in ss.current_state(spark).collect()
     }
     assert streamed == batch
+
+
+def test_analysis_ops_run_in_structured_streaming(spark, tmp_path):
+    """The stateless pipeline gates (repetition/quality, PII scrub,
+    text_stats) are streaming-safe projections: readStream -> op ->
+    memory sink equals the batch result on the same files."""
+    from tetrex_spark.functions.analysis import (
+        pii_scrub,
+        repetition_quality,
+        text_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} says hello world. email x{i}@example.com") for i in range(20)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    for name, op in (
+        ("rq", repetition_quality),
+        ("pii", pii_scrub),
+        ("ts", text_stats),
+    ):
+        q = (
+            op(stream).writeStream.format("memory")
+            .queryName(f"sink_{name}").outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(f"select * from sink_{name}").collect()
+        want = op(docs).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_connected_components_empty_and_self_pairs(spark):
+    from tetrex_spark.operators.clusters import connected_components, dedup_keep_list
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    docs = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    out = {r.id: r.keep for r in dedup_keep_list(docs, empty).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+    # self-loops only -> no clusters
+    selfp = spark.createDataFrame([(1, 1), (2, 2)], "id_a long, id_b long")
+    assert connected_components(selfp).count() == 0
