@@ -438,6 +438,21 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_quality(_docs(spark, sf_dir))
 
 
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host curation aggregates (drop-low-quality-domains table):
+    one partial-aggregated shuffle, JVM-only per-doc metrics."""
+    from tetrex_spark.functions.analysis import host_stats
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ),
+    )
+    return host_stats(docs)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction gate: emails/IPv4/phone-like runs counted (on the
     original text) and redacted in order; pure JVM regexp, zero shuffle."""
@@ -488,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "quality_filter": q_quality_filter,
         "pii_scrub": q_pii_scrub,
+        "host_stats": q_host_stats,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -591,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _LANGID_SQL,
         "quality_filter": _QUALITY_SQL,
         "pii_scrub": _PII_SQL,
+        "host_stats": _HOST_STATS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "gram_decode": _GRAM_DECODE_SQL,
@@ -807,6 +824,31 @@ def _splitmix_ctes(src: str, in_expr: str, out_col: str, pfx: str,
         f"{pfx}6 as (select {c}xor(z, z >> 31) as {out_col} from {pfx}5)"
     )
 
+
+_STOPS_EN = "('the','a','of','and','to','in','is','it','that','for')"
+_HOST_STATS_SQL = f"""
+with n as (select {_URL} as url, {_NORM_SQL_DUCK} as norm from documents),
+t as (select lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) as host,
+             case when length(norm) = 0 then 0
+                  else len(string_split(norm, ' ')) end as ntok,
+             norm
+      from n),
+q as (select host, ntok,
+        round(
+          least(ntok / 100.0, 1.0) * 0.4
+          + least((case when ntok = 0 then 0.0 else
+              len(list_filter(string_split(norm, ' '), x -> x in {_STOPS_EN}))
+              * 1.0 / ntok end) * 5.0, 1.0) * 0.3
+          + (case when length(norm) = 0 then 0.0 else
+              length(regexp_replace(norm, '[^a-z ]', '', 'g'))
+              * 1.0 / length(norm) end) * 0.3
+        , 6) as quality
+      from t)
+select host, count(*) as n_docs,
+       round(avg(quality), 6) as mean_quality,
+       round(avg(ntok), 6) as mean_tokens
+from q group by host
+"""
 
 # -- gram-decode oracle (F12 analog): distinct (gram, splitmix64 hash)
 # pairs re-derived in SQL — hash-checks that the decode table maps every

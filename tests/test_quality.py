@@ -85,3 +85,18 @@ def test_matches_duckdb_oracle(result):
         assert result[col].astype(float).tolist() == pytest.approx(
             oracle[col].astype(float).tolist()
         ), col
+
+
+def test_url_normalize(spark):
+    from tetrex_spark.functions.analysis import url_normalize_col
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?q=1#frag", "http://example.com/Path/?q=1"),
+        ("https://example.com:443/a/b/", "https://example.com/a/b"),
+        ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),
+        ("http://example.com/?", "http://example.com"),
+        ("http://example.com", "http://example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_normalize_col("url")).collect()]
+    assert got == [w for _, w in cases]

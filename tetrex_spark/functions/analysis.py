@@ -240,6 +240,50 @@ def pii_scrub(
     )
 
 
+# -- URL canonicalization + host-level aggregates ----------------------------
+
+
+def url_normalize_col(c: str):
+    """Canonical URL for URL-level exact dedup: lowercase scheme://host
+    (www. stripped, default :80/:443 ports dropped), fragment removed,
+    trailing '?' / '/' trimmed. Pure JVM regexp chain; regex-mirrorable
+    in the DuckDB oracle (no parse_url there)."""
+    scheme_host = F.lower(
+        F.regexp_extract(F.col(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    )
+    scheme_host = F.regexp_replace(scheme_host, r"^([a-z0-9+.-]+://)www\.", r"$1")
+    scheme_host = F.regexp_replace(scheme_host, r":(80|443)$", "")
+    rest = F.regexp_replace(
+        F.regexp_extract(F.col(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+        r"#.*$", "",
+    )
+    rest = F.regexp_replace(rest, r"[/?]+$", "")
+    return F.concat(scheme_host, rest)
+
+
+def host_stats(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-host curation aggregates: (host, n_docs, mean_quality,
+    mean_tokens) — the table a pipeline thresholds to drop low-quality
+    domains wholesale. One partial-aggregated shuffle on host; all
+    per-doc metrics are JVM expressions."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1))
+    return (
+        df.select(
+            host.alias("host"),
+            quality_score_col(text_col).alias("q"),
+            token_count_col(text_col).alias("t"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+            F.round(F.avg("t"), 6).alias("mean_tokens"),
+        )
+    )
+
+
 # -- winnowing fingerprint (rolling-hash document signature) -----------------
 
 _FP_SCHEMA = T.StructType(
