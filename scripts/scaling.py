@@ -140,6 +140,13 @@ def worker(cpus: int, corpus_dir: str) -> None:
         SketchSpec("kll", "kll", "doc_length_tokens", params={"k": 200}),
         SketchSpec("td", "tdigest", "doc_length_chars", params={"delta": 100.0}),
     ]
+    # steady-state warm: one untimed build over a quarter slice (same
+    # plan, same shuffle/parquet code paths) — the first timed run
+    # otherwise still pays C2 JIT compilation that min-of-2 only partly
+    # absorbs on a fresh JVM; production executors are long-lived.
+    build_sketches(
+        corpus.where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0), specs
+    ).count()
     dt = float("inf")
     for _ in range(2):  # min-of-2: hypervisor-neighbor noise is ~3x here
         t0 = time.time()
