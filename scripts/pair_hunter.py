@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from evidence_orchestrator import REPO, gated, wait_quiet  # noqa: E402
 
 FOREIGN_MAX = 0.7
-CORPUS = "/tmp/tetrex_scaling_corpus_r1024"
+CORPUS = "/tmp/tetrex_scaling_corpus_r1024f32"
 LOG = Path("/tmp/spark_pairs.jsonl")
 BEST = Path("/tmp/spark_pairs_best.json")
 

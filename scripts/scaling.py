@@ -37,9 +37,15 @@ N_BINS = 64
 REPL = int(os.environ.get("SCALING_REPL", "1024"))
 
 
+N_FILES = int(os.environ.get("SCALING_FILES", "32"))
+
+
 def prep(sf_dir: str, out_dir: str) -> None:
-    """Materialize the replicated corpus ONCE (untimed): 128 parquet files
-    so scan parallelism comes from the data layout, not the generator."""
+    """Materialize the replicated corpus ONCE (untimed): N_FILES parquet
+    files so scan parallelism comes from the data layout, not the core
+    count. 32 files -> 32 map splits: exact whole waves at BOTH levels
+    (2x16, 8x4), no tail-wave idle slots, and half the per-task partials
+    of the old 128-file layout (less payload shuffle)."""
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -59,7 +65,7 @@ def prep(sf_dir: str, out_dir: str) -> None:
         ).alias("url"),
         F.col("text"),
     )
-    corpus.repartition(128, "url").write.mode("overwrite").parquet(out_dir)
+    corpus.repartition(N_FILES, "url").write.mode("overwrite").parquet(out_dir)
     spark.stop()
 
 
@@ -168,7 +174,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     lo = int(os.environ.get("SCALING_N", "4"))
     hi = 4 * lo
-    corpus_dir = f"/tmp/tetrex_scaling_corpus_r{REPL}"
+    corpus_dir = f"/tmp/tetrex_scaling_corpus_r{REPL}f{N_FILES}"
     env = dict(os.environ, PYTHONPATH=str(REPO))
     if not (Path(corpus_dir) / "_SUCCESS").exists():
         # prep is untimed; reuse an existing materialization so the timed
@@ -211,7 +217,7 @@ def main() -> None:
 Same job, same input, fresh JVM per level ({time.strftime('%Y-%m-%d')}):
 full 5-kind sketch build+merge (bloom 2^20 bits, hll p=12, cms 2048x5,
 kll k=200, t-digest d=100) over {r8['n_docs']:,} replicated-document docs
-({sf_dir}), {N_BINS} bins, fixed 128-file input layout.
+({sf_dir}), {N_BINS} bins, fixed {N_FILES}-file input layout.
 
 | parallelism | build wall (s) | docs/sec |
 |---|---|---|
