@@ -34,6 +34,10 @@ COS_T = 0.4
 
 _NORM_SQL_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+from tetrex_spark.functions.analysis import BPE_PRETOKEN_RE as _BPE_RE  # noqa: E402
+
+_BPE_SQL = _BPE_RE.replace("'", "''")
+
 _index_cache: dict[str, object] = {}
 
 
@@ -165,6 +169,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tetrex_spark.functions.analysis import (
+        bpe_token_count_col,
         char_count_col,
         quality_score_col,
         stopword_ratio_col,
@@ -174,6 +179,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         token_count_col("text").alias("n_tokens"),
+        bpe_token_count_col("text").alias("n_bpe_tokens"),
         char_count_col("text").alias("n_chars_norm"),
         F.round(stopword_ratio_col("text"), 6).alias("stopword_ratio"),
         quality_score_col("text").alias("quality"),
@@ -587,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
                   from n)
             select doc_id,
                    len(toks) as n_tokens,
+                   len(regexp_extract_all(norm, '{_BPE_SQL}')) as n_bpe_tokens,
                    length(norm) as n_chars_norm,
                    round(case when len(toks) = 0 then 0.0 else
                      len(list_filter(toks, x -> x in

@@ -100,3 +100,17 @@ def test_url_normalize(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(url_normalize_col("url")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    import re
+
+    from tetrex_spark.functions.analysis import BPE_PRETOKEN_RE, bpe_token_count_col
+    from tetrex_spark.functions.text import normalize_query
+
+    docs = [(0, "It's a test-case, 123 numbers!"), (1, ""), (2, "don't stop... 42x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_token_count_col("text").alias("n")).collect()}
+    for i, t in docs:
+        assert got[i] == len(re.findall(BPE_PRETOKEN_RE, normalize_query(t))), t

@@ -40,6 +40,20 @@ def char_count_col(c: str):
     return F.length(norm_col(c))
 
 
+# GPT-2-style pretokenizer (simplified to the Java-regex/RE2-common
+# subset: no lookahead, no \p classes): contraction suffixes, space-
+# prefixed letter/digit runs, punctuation runs. Applied to the
+# normalized (lowercased, single-spaced) text, so [a-z] covers letters.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+|'"
+
+
+def bpe_token_count_col(c: str):
+    """Pretokenizer token count — the LLM-pipeline 'how many tokens is
+    this document' estimate (BPE merges only split within pretokens, so
+    this lower-bounds and tracks real BPE counts). Pure JVM regexp_count."""
+    return F.regexp_count(norm_col(c), F.lit(BPE_PRETOKEN_RE))
+
+
 def stopword_ratio_col(c: str, lang: str = "en"):
     toks = tokens_col(c)
     stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
