@@ -96,10 +96,13 @@ def connected_components(
         ).collect()[0]
         return (row.n, row.h)
 
-    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the _sig aggregate right after is the
+    # materializing action, so each round costs exactly one job while
+    # still truncating the iterative lineage
+    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
     sig = _sig(edges)
     for _ in range(max_iter):
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _sig(new)
         edges = new
         if new_sig == sig:
