@@ -11,10 +11,10 @@ collect, so it runs at any scale the pair list itself fits. Each round
 is persisted and localCheckpoint-ed to truncate the iterative lineage
 (the classic iterative-Spark plan-explosion trap).
 
-The reference has no clustering step (its matches are per-query hits,
-tetrex/src/lib.rs-era scan-verify only); this is part of the
-training-pipeline extension (SURVEY §2.8): exact/minhash/simhash dedup
-all emit pairs, and a pipeline needs keep-lists.
+The reference has no clustering step (its outputs are per-query hit
+lists, /root/reference/src/query.cpp-style scan-verify); this is
+part of the training-pipeline extension (SURVEY §2.8): exact / minhash
+/ simhash dedup all emit pairs, and a pipeline needs keep-lists.
 """
 
 from __future__ import annotations
