@@ -264,6 +264,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: spherical-k-means cells + n_probe cell pruning.
+    Run here with n_probe = n_cells (exhaustive probing) so the output
+    is exactly the brute-force oracle — machinery value-checked; the
+    pruned-recall regime (n_probe < n_cells) is property-tested."""
+    from tetrex_spark.operators.similarity import ivf_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    qrows = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).collect()
+    queries = {int(r["vec_id"]): list(r["embedding"]) for r in qrows}
+    return ivf_topk_batch(
+        emb, queries, k=ANN_K, n_cells=16, n_probe=16
+    ).select("query_id", "vec_id", "rank")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed block-exact all-pairs cosine — the scale path for this
     corpus's MODERATE threshold (0.4): below cos ~0.85 hyperplane blocking
@@ -511,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "host_stats": q_host_stats,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         # oracle-checked via exact ground truth + bound verdicts
@@ -555,7 +571,7 @@ _HH_TOP20_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "motif_regex": f"""
             with n as (select {_URL} as url, {_NORM_SQL_DUCK} as norm from documents)
             select url, unnest(regexp_extract_all(norm, '{MOTIF_PATTERN}')) as match
@@ -695,6 +711,10 @@ def oracle_sql() -> dict[str, str]:
                    round((select quantile_cont(length(norm), 0.9) from t), 6), true
         """,
     }
+    # IVF at n_probe = n_cells is exhaustive: exactly the brute-force
+    # top-k ground truth
+    d["ann_topk_ivf"] = d["ann_topk"]
+    return d
 
 
 # -- winnowing-fingerprint oracle: re-derives the kernel's splitmix64

@@ -386,3 +386,28 @@ def test_blocked_cosine_pairs_equal_exact(vectors):
             for r in cosine_pairs_exact(df, t).collect()
         }
         assert got == want and len(want) > 0
+
+
+def test_ivf_exhaustive_equals_exact_and_pruned_recall(vectors):
+    """IVF with n_probe = n_cells is exactly brute-force top-k; with
+    n_probe = 2 of 8 cells, planted tight clusters keep recall high
+    while the scan shrinks to the probed cells."""
+    from tetrex_spark.operators.similarity import ivf_topk_batch
+
+    df, rows = vectors
+    queries = {0: rows[0][1], 37: rows[37][1]}
+    exact = cosine_topk_batch(df, queries, k=5).collect()
+    want = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact}
+    full = ivf_topk_batch(df, queries, k=5, n_cells=8, n_probe=8).collect()
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in full}
+    assert got == want
+    pruned = ivf_topk_batch(df, queries, k=5, n_cells=8, n_probe=2).collect()
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in queries:
+        overlap = len(by_q.get(qid, set()) & exact_by_q[qid]) / 5
+        assert overlap >= 0.8, (qid, overlap)

@@ -163,6 +163,155 @@ def cosine_pairs_exact(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 8192,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical-k-means coarse quantizer for IVF: train on a seeded
+    hash-sample of the corpus (classic offline/sampled training — the
+    quantizer needs the distribution's shape, not every row), Lloyd
+    iterations in numpy, centroids L2-normalized. Deterministic."""
+    n = df.count()
+    frac = max(1, n // sample)
+    rows = (
+        df.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(frac)) == 0)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.permutation(len(X))[:n_cells]].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid cell per vector — broadcast
+    centroid matrix, one matmul per Arrow batch. A corpus materialized
+    partitioned-by-cell turns every probe into file-level pruning."""
+    b_c = df.sparkSession.sparkContext.broadcast(centroids)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType()), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_c.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Mn @ C.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 vec_col: list(M), "cell": cell}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def ivf_topk_batch(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k (the brief's 'IVF variant as the scale path'):
+    each query scores only the vectors of its n_probe nearest quantizer
+    cells — the scan shrinks by ~n_probe/n_cells, and a cell-partitioned
+    corpus prunes files. n_probe = n_cells degrades to exact brute force
+    (recall 1 — the oracle-checked configuration); smaller n_probe
+    trades recall for a proportionally smaller scan (recall
+    property-tested on planted clusters)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_cells, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    qids = sorted(queries)
+    Q = np.asarray([queries[i] for i in qids], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # n_probe nearest cells per query (driver-side: Q x n_cells dots)
+    probe = np.argsort(-(Qn @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets = {qid: set(map(int, probe[qi])) for qi, qid in enumerate(qids)}
+    cells_needed = sorted(set().union(*probe_sets.values()))
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    cand = assigned.where(F.col("cell").isin(cells_needed))
+    spark = df.sparkSession
+    b_q = spark.sparkContext.broadcast((qids, Qn, probe_sets))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _qids, _Qn, _probe = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            scores = _Qn @ Mn.T  # (Q, n)
+            rows = {"query_id": [], id_col: [], "cosine": []}
+            for qi, qid in enumerate(_qids):
+                mask = np.isin(cells, list(_probe[qid]))
+                if not mask.any():
+                    continue
+                s = scores[qi][mask]
+                mids = ids[mask]
+                top = min(k, s.size)
+                part = np.argpartition(-s, top - 1)[:top]
+                rows["query_id"].extend([qid] * top)
+                rows[id_col].extend(mids[part])
+                rows["cosine"].extend(s[part])
+            yield pd.DataFrame(rows)
+
+    partials = cand.mapInPandas(fn, schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     threshold: float,
