@@ -108,6 +108,7 @@ def main() -> None:
         "distinct_shingles_by_lang",
         "length_quantiles",
         "ann_topk",
+        "ann_topk_ivf",
         "embedding_near_dup",
         "simhash_pairs",
         "fingerprints",
