@@ -153,3 +153,24 @@ def test_cli_regex_file(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "accg" in out and "ttcc" in out
+
+
+def test_cli_analyze_writes_gate_tables(spark, tmp_path, capsys):
+    from tetrex_spark.cli import main
+    from tetrex_spark.sources.corpus import webtext_small
+
+    corpus_path = str(tmp_path / "corpus")
+    webtext_small(spark).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "gates")
+    rc = main(["analyze", "--corpus", corpus_path, "--output", out_dir,
+               "--gates", "quality,hosts"])
+    assert rc == 0
+    n_docs = webtext_small(spark).count()
+    q = spark.read.parquet(f"{out_dir}/quality")
+    assert q.count() == n_docs and "keep" in q.columns
+    h = spark.read.parquet(f"{out_dir}/hosts")
+    assert h.count() == 8  # webtext_small has 8 hosts
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["analyze", "--corpus", corpus_path, "--output", out_dir,
+              "--gates", "nope"])

@@ -137,6 +137,36 @@ def cmd_track(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Training-pipeline curation gates over a corpus (beyond the
+    reference's surface): per-doc repetition/quality stats with keep
+    flags, PII redaction, token/language stats, per-host aggregates —
+    one parquet table per gate under --output/<gate>/."""
+    from .functions.analysis import (
+        host_stats,
+        pii_scrub,
+        repetition_quality,
+        text_stats,
+    )
+
+    spark = _spark("analyze")
+    corpus = read_corpus(spark, args.corpus)
+    gates = {
+        "quality": lambda: repetition_quality(corpus, id_col="url"),
+        "pii": lambda: pii_scrub(corpus, id_col="url"),
+        "stats": lambda: text_stats(corpus, id_col="url"),
+        "hosts": lambda: host_stats(corpus),
+    }
+    selected = args.gates.split(",") if args.gates else list(gates)
+    unknown = set(selected) - set(gates)
+    if unknown:
+        raise SystemExit(f"unknown gates: {sorted(unknown)}")
+    for g in selected:
+        gates[g]().write.mode("overwrite").parquet(f"{args.output}/{g}")
+        print(f"{g}: wrote {args.output}/{g}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tetrex_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -172,6 +202,13 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--max-gap", type=int, default=21)
     pt.add_argument("--fpr", type=float, default=0.05)
     pt.set_defaults(fn=cmd_track)
+
+    pa = sub.add_parser("analyze")
+    pa.add_argument("--corpus", required=True)
+    pa.add_argument("--output", required=True)
+    pa.add_argument("--gates", default=None,
+                    help="comma list of quality,pii,stats,hosts (default all)")
+    pa.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)
