@@ -75,7 +75,21 @@ def gated(cmd: list[str], timeout: int = 1200) -> tuple[dict | None, float]:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/evidence_results.json"
-    corpus_dir = "/tmp/tetrex_scaling_corpus"
+    # corpus path must track scaling.py's REPL/N_FILES-keyed layout, and
+    # the (untimed) prep must run if that materialization doesn't exist —
+    # otherwise both spark legs read a nonexistent path and burn retries
+    sys.path.insert(0, str(REPO / "scripts"))
+    from scaling import N_FILES, REPL
+
+    corpus_dir = f"/tmp/tetrex_scaling_corpus_r{REPL}f{N_FILES}"
+    if not (Path(corpus_dir) / "_SUCCESS").exists():
+        subprocess.run(
+            [sys.executable, str(REPO / "scripts/scaling.py"), "--prep",
+             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+             corpus_dir],
+            check=True, env=dict(os.environ, PYTHONPATH=str(REPO)),
+            timeout=1800,
+        )
     results: dict = {"legs": {}, "foreign": {}}
     legs: list[tuple[str, list[str]]] = [
         ("spark_16", [sys.executable, str(REPO / "scripts/scaling.py"),

@@ -388,6 +388,64 @@ def test_blocked_cosine_pairs_equal_exact(vectors):
         assert got == want and len(want) > 0
 
 
+def test_blocked_cosine_pairs_never_broadcasts_packed_table(vectors):
+    """The block-pair join must be a SHUFFLE join on (b1, b2) keys —
+    broadcasting the packed table ships the entire corpus matrix (n*d*8
+    bytes) to every executor and OOMs at scale long before compute binds."""
+    import contextlib
+    import io
+
+    from tetrex_spark.operators.similarity import cosine_pairs_blocked
+
+    df, _ = vectors
+    out = cosine_pairs_blocked(df, 0.4, block=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_cosine_verify_pairs_matches_exact(vectors):
+    """Packed-BLAS candidate scoring (the hyperplane verify path) returns
+    exactly the broadcast-exact cosines for the same pair list."""
+    from tetrex_spark.operators.similarity import cosine_verify_pairs
+
+    df, _ = vectors
+    exact = cosine_pairs_exact(df, 0.9)
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_verify_pairs(
+            df, exact.select("id_a", "id_b"), 0.9, block=16
+        ).collect()
+    }
+    assert got == want and len(want) > 50
+
+
+def test_capped_pairs_logs_drops_by_default(spark, caplog):
+    """No-silent-caps: a cap that actually drops buckets must warn-log
+    WITHOUT the caller opting in (ADVICE r02: the drop used to be visible
+    only via a separate opt-in lsh_bucket_stats scan)."""
+    import logging
+
+    from tetrex_spark.operators.dedup import (
+        band_buckets,
+        capped_candidate_pairs,
+        minhash_sigs_and_sets,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(i, base + f"suffix{i}") for i in range(6)], "doc_id long, text string"
+    )
+    buckets = band_buckets(minhash_sigs_and_sets(df, k=3, num_perm=128), 32, 4)
+    with caplog.at_level(logging.WARNING, logger="tetrex_spark.operators.dedup"):
+        capped_candidate_pairs(buckets, 2).count()
+    assert any("cap" in r.getMessage() for r in caplog.records)
+
+
 def test_ivf_exhaustive_equals_exact_and_pruned_recall(vectors):
     """IVF with n_probe = n_cells is exactly brute-force top-k; with
     n_probe = 2 of 8 cells, planted tight clusters keep recall high

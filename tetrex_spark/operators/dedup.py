@@ -184,28 +184,45 @@ def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
-def capped_candidate_pairs(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+def capped_candidate_pairs(
+    buckets: DataFrame, max_bucket: int | None, *, log_drops: bool = True
+) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from a (id, band, bh) bucket
     table, skipping buckets with more than `max_bucket` members.
 
     The cap bounds the self-join at B buckets x max_bucket^2 pairs instead
     of the unbounded sum of bucket-size squares (one pathological bucket of
     10^6 members is 5*10^11 pairs). Over-cap buckets are *whole-bucket*
-    drops — a pair can still surface via its other bands — and are
-    anything-but-silent: use `lsh_bucket_stats` on the same bucket table to
-    count and log them (kept out of this plan so the cap itself adds no
-    extra corpus scan). With exact-dup pre-collapse upstream (see
-    minhash_lsh_pairs) an over-cap bucket requires > max_bucket *distinct*
-    texts colliding in one band — at the default banding that means a
-    genuine giant near-dup cluster, which the cap converts from a quadratic
-    join into a bounded one."""
-    if max_bucket is not None:
+    drops — a pair can still surface via its other bands — and are NEVER
+    silent: whenever a cap is active, `lsh_bucket_stats` runs on the same
+    bucket table and warn-logs any drop (no-silent-caps rule; pass
+    log_drops=False only when the caller reports the stats itself). With
+    exact-dup pre-collapse upstream (see minhash_lsh_pairs) an over-cap
+    bucket requires > max_bucket *distinct* texts colliding in one band —
+    at the default banding that means a genuine giant near-dup cluster,
+    which the cap converts from a quadratic join into a bounded one.
+
+    With a cap active the bucket table is persisted (the stats pass, the
+    size aggregate and both self-join sides read it without recomputing
+    upstream) and the candidate list — bounded by construction — is
+    eagerly localCheckpoint-ed so the cache can be released before
+    returning: no storage leak across repeated calls."""
+    capped = max_bucket is not None
+    ours = capped and not (
+        buckets.storageLevel.useMemory or buckets.storageLevel.useDisk
+    )
+    if ours:
+        buckets = buckets.persist()
+    cached = buckets
+    if capped:
+        if log_drops:
+            lsh_bucket_stats(buckets, max_bucket)  # warn-logs any drop
         sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bc"))
         over = sizes.filter(F.col("bc") > max_bucket).select("band", "bh")
         # over-cap bucket list is tiny by construction (<= n/max_bucket rows)
         buckets = buckets.join(F.broadcast(over), ["band", "bh"], "left_anti")
     x, y = buckets.alias("x"), buckets.alias("y")
-    return (
+    cand = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -215,6 +232,10 @@ def capped_candidate_pairs(buckets: DataFrame, max_bucket: int | None) -> DataFr
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    if ours:
+        cand = cand.localCheckpoint(eager=True)
+        cached.unpersist()
+    return cand
 
 
 def lsh_bucket_stats(buckets: DataFrame, max_bucket: int) -> dict:
@@ -313,6 +334,12 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # rep pairs are tiny (candidate-bounded); materialize them so the
+    # persisted sig/set table can be released NOW instead of leaking
+    # cached blocks across repeated calls (the expansion below reads only
+    # docs/reps, never ss)
+    rep_pairs = rep_pairs.localCheckpoint(eager=True)
+    ss.unpersist()
     if not expand_exact_dups:
         return rep_pairs
     # 5. expand representative pairs to member pairs
@@ -339,12 +366,15 @@ def minhash_lsh_pairs(
     )
     # intra-group pairs: exact duplicates (jaccard 1.0); only groups whose
     # representative produced a shingle set (>= k tokens) — docs without
-    # shingles have no jaccard to anything, matching the exact oracle
-    elig = (
-        reps.filter(F.col("csize") > 1)
-        .join(ss.select("id"), "id")
-        .select("grp")
-    )
+    # shingles have no jaccard to anything, matching the exact oracle.
+    # "has a sig row" == "normalized text has >= k tokens", re-expressed
+    # as a JVM predicate so this branch never re-reads the (already
+    # released) sig/set table
+    elig = reps.filter(
+        (F.col("csize") > 1)
+        & (F.length(norm_col("txt")) > 0)
+        & (F.size(tokens_col("txt")) >= k)
+    ).select("grp")
     mi = members.join(elig, "grp")
     xi, yi = mi.alias("xi"), mi.alias("yi")
     intra = (
@@ -429,7 +459,7 @@ def simhash_blocking_plan(n_blocks: int, max_hamming: int) -> list[tuple[int, ..
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 3, *, n_blocks: int = 6,
+    df: DataFrame, max_hamming: int = 3, *, n_blocks: int | None = None,
     max_bucket: int | None = 512, expand_exact_dups: bool = True,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
@@ -442,7 +472,15 @@ def simhash_pairs(
     representative; buckets are size-capped; verified representative pairs
     expand back to member pairs (cross pairs inherit the representatives'
     hamming — equal simhash => equal distance to everything; intra pairs
-    are hamming 0)."""
+    are hamming 0).
+
+    n_blocks=None picks the blocking width adaptively: 4 (4 bands x
+    16-bit keys — ample for <= 2^16-ish buckets worth of reps, 5x fewer
+    bucket rows) below 1e6 docs, 6 (20 bands x >=31-bit keys) above.
+    Recall is exactly 1.0 at every width (deterministic pigeonhole), so
+    the knob trades constant-factor cost against bucket capacity only."""
+    if n_blocks is None:
+        n_blocks = 4 if df.count() <= 1_000_000 else 6
     return simhash_pairs_from_fingerprints(
         simhash(df, text_col, id_col), max_hamming,
         n_blocks=n_blocks, max_bucket=max_bucket,
@@ -456,7 +494,16 @@ def simhash_pairs_from_fingerprints(
 ) -> DataFrame:
     """simhash_pairs over a precomputed (id, simhash) table — useful when
     fingerprints are stored (they are 8 bytes/doc; recomputing them is the
-    expensive part) and for property-testing the blocking directly."""
+    expensive part) and for property-testing the blocking directly.
+
+    The fingerprint table and the collapsed rep table are persisted for
+    the duration of the call (each feeds several join branches that would
+    otherwise recompute the upstream kernel pass), and the result is
+    materialized (localCheckpoint) before both caches are released — no
+    storage leak across repeated calls. With expand_exact_dups=True the
+    materialized result is the member-level pair list; at 10^12-doc scale
+    use expand_exact_dups=False (rep-level pairs + the dup-groups table)
+    as documented on minhash_lsh_pairs."""
     combos = simhash_blocking_plan(n_blocks, max_hamming)
     base, rem = divmod(64, n_blocks)
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
@@ -467,9 +514,12 @@ def simhash_pairs_from_fingerprints(
             F.lit((1 << widths[i]) - 1)
         )
 
+    own_sh = not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
+    if own_sh:
+        sh = sh.persist()
     groups = sh.groupBy("simhash").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
-    )
+    ).persist()
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -493,8 +543,12 @@ def simhash_pairs_from_fingerprints(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)  # tiny: candidate-bounded
     )
     if not expand_exact_dups:
+        groups.unpersist()
+        if own_sh:
+            sh.unpersist()
         return rep_pairs
     members = sh.select(F.col("simhash").alias("grp"), "id")
     rg = groups.select(F.col("id").alias("rid"), F.col("simhash").alias("rgrp"))
@@ -532,4 +586,8 @@ def simhash_pairs_from_fingerprints(
             F.lit(0).alias("hamming"),
         )
     )
-    return cross.unionByName(intra)
+    out = cross.unionByName(intra).localCheckpoint(eager=True)
+    groups.unpersist()
+    if own_sh:
+        sh.unpersist()
+    return out

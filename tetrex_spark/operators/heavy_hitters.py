@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernel import from_bytes
-from .dedup import tokens_col
 from .sketch_build import SketchSpec, build_sketches
 
 _CAND_SCHEMA = T.StructType(
@@ -90,14 +89,22 @@ def heavy_hitters(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..functions.text import _combine_shingles
+        from ..functions.text import _combine_shingles, normalize_series
         from ..kernel.hashing import hash_str_series
 
         local = from_bytes(b_cms.value)
         for pdf in batches:
             if pdf.empty:
                 continue
-            vc = pdf["token"].value_counts()
+            # tokenize in-process: the Arrow transfer carries one row per
+            # DOC, not one per token (the exploded formulation shipped
+            # O(total tokens) rows through the Python worker for the same
+            # value_counts)
+            toks = normalize_series(pdf[text_col]).str.split(" ").explode()
+            toks = toks[toks != ""]
+            vc = toks.value_counts()
+            if vc.empty:
+                continue
             uniq = vc.index.to_series(index=range(len(vc)))
             # same key derivation as the build side's 'token' source: each
             # unique token is a one-token doc through the shingle combiner
@@ -114,10 +121,7 @@ def heavy_hitters(
                     }
                 )
 
-    toks = df.select(F.explode(tokens_col(text_col)).alias("token")).filter(
-        F.col("token") != ""
-    )
-    cand_counts = toks.mapInPandas(probe, _CAND_SCHEMA)
+    cand_counts = df.select(text_col).mapInPandas(probe, _CAND_SCHEMA)
     return (
         cand_counts.groupBy("token")
         .agg(F.sum("local_cnt").alias("cnt"))
@@ -152,10 +156,15 @@ def heavy_hitters_topk(
     ranked = hh.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
-    out = ranked.select("token", "cnt", "rank").cache()
-    if out.count() < k:
+    # localCheckpoint (<= k rows), not cache(): the count() guard needs a
+    # materialization, and an explicit cache left on the returned frame
+    # accumulates executor storage across repeated calls; checkpoint
+    # blocks are released when the frame is garbage-collected
+    out = ranked.select("token", "cnt", "rank").localCheckpoint(eager=True)
+    n = out.count()
+    if n < k:
         raise ValueError(
-            f"only {out.count()} tokens clear phi={phi_num}/{phi_den}; "
+            f"only {n} tokens clear phi={phi_num}/{phi_den}; "
             f"top-{k} would be truncated — lower phi"
         )
     return out

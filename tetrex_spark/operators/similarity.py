@@ -93,12 +93,15 @@ def cosine_topk_batch(
             scores = Qn @ Mn.T  # (Q, n)
             ids = pdf[id_col].to_numpy()
             top = min(k, scores.shape[1])
-            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
             rows = {"query_id": [], id_col: [], "cosine": []}
             for qi, qid in enumerate(qids):
+                # partial top-k under the SAME total order as the final
+                # window (cosine desc, id asc): boundary ties inside one
+                # batch must keep the id the global tie-break will pick
+                part = np.lexsort((ids, -scores[qi]))[:top]
                 rows["query_id"].extend([qid] * top)
-                rows[id_col].extend(ids[part[qi]])
-                rows["cosine"].extend(scores[qi, part[qi]])
+                rows[id_col].extend(ids[part])
+                rows["cosine"].extend(scores[qi, part])
             yield pd.DataFrame(rows)
 
     partials = df.select(id_col, vec_col).mapInPandas(fn, schema)
@@ -295,7 +298,10 @@ def ivf_topk_batch(
                 s = scores[qi][mask]
                 mids = ids[mask]
                 top = min(k, s.size)
-                part = np.argpartition(-s, top - 1)[:top]
+                # same total order as the final window (cosine desc, id
+                # asc) — argpartition's arbitrary tie order could drop the
+                # id the deterministic global tie-break needs
+                part = np.lexsort((mids, -s))[:top]
                 rows["query_id"].extend([qid] * top)
                 rows[id_col].extend(mids[part])
                 rows["cosine"].extend(s[part])
@@ -309,6 +315,52 @@ def ivf_topk_batch(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+_PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("b", T.IntegerType(), False),
+        T.StructField("ids", T.BinaryType(), False),
+        T.StructField("mat", T.BinaryType(), False),
+    ]
+)
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ]
+)
+
+
+def _pack_blocks(
+    df: DataFrame, nblocks: int, *, vec_col: str, id_col: str
+) -> DataFrame:
+    """(b, ids, mat): vectors hashed into `nblocks` blocks, each packed
+    once into a row-normalized float64 matrix (ids sorted ascending, so
+    probes can binary-search them). One block = one Arrow row of
+    ~block*d*8 bytes — the unit every blocked cosine operator below
+    shuffles and matmuls."""
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {"b": [key[0]], "ids": [ids.tobytes()], "mat": [M.tobytes()]}
+        )
+
+    return (
+        df.select(id_col, vec_col)
+        .withColumn(
+            "b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int")
+        )
+        .groupBy("b")
+        .applyInPandas(pack, _PACKED_SCHEMA)
     )
 
 
@@ -327,55 +379,39 @@ def cosine_pairs_blocked(
 
     This is the moderate-threshold scale path: below cosine ~0.85
     hyperplane blocking cannot be selective (p_plane ~0.63 at cos 0.4 —
-    the bucket join degenerates to ~all pairs, but pays it in millions
-    of interpreted per-candidate dot products). Here the same O(n^2)
+    the bucket join degenerates to ~all pairs). Here the same O(n^2)
     verify work runs as dense matmul: no driver-side matrix (unlike
-    cosine_pairs_exact), no per-pair expression evaluation, shuffle =
-    O(n*d + blocks^2 * block*d). Keep hyperplane_lsh_pairs for the true
-    near-dup regime (threshold >= ~0.9) where blocking prunes."""
+    cosine_pairs_exact), no per-pair expression evaluation. Keep
+    hyperplane_lsh_pairs for the true near-dup regime (threshold >=
+    ~0.9) where blocking prunes.
+
+    Block pairing is a SHUFFLE join on explicit (b1, b2) keys — each side
+    replicated ~nblocks/2 times, shuffle O(nblocks * n * d) — never a
+    broadcast of the packed table: broadcasting it would ship the entire
+    corpus matrix (n*d*8 bytes; ~600 GB at 1e8 docs x 768 dims) to every
+    executor and OOM long before the O(n^2) compute binds. Each (b1, b2)
+    key holds exactly one row per side, so the join has zero key skew and
+    one matmul per task."""
     import math
 
     n = df.count()
     nblocks = max(1, math.ceil(n / block))
-    packed_schema = T.StructType(
-        [
-            T.StructField("b", T.IntegerType(), False),
-            T.StructField("ids", T.BinaryType(), False),
-            T.StructField("mat", T.BinaryType(), False),
-        ]
+    blocks = _pack_blocks(df, nblocks, vec_col=vec_col, id_col=id_col)
+    # left block b joins every partner b2 >= b; right block b2 joins every
+    # b1 <= b2 — (b1, b2) pair keys are unique on both sides
+    left = blocks.withColumn(
+        "b2", F.explode(F.sequence(F.col("b"), F.lit(nblocks - 1)))
     )
-
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.DataFrame(
-            {"b": [key[0]], "ids": [ids.tobytes()], "mat": [M.tobytes()]}
+    right = (
+        blocks.select(
+            F.col("b").alias("rb2"), F.col("ids").alias("ids2"),
+            F.col("mat").alias("mat2"),
         )
-
-    blocks = (
-        df.select(id_col, vec_col)
-        .withColumn(
-            "b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int")
-        )
-        .groupBy("b")
-        .applyInPandas(pack, packed_schema)
+        .withColumn("rb", F.explode(F.sequence(F.lit(0), F.col("rb2"))))
     )
-    rhs = blocks.select(
-        F.col("b").alias("b2"), F.col("ids").alias("ids2"),
-        F.col("mat").alias("mat2"),
-    )
-    # the packed table is nblocks rows of ~block*d*8 bytes; broadcast the
-    # right side so every (b1 <= b2) pairing is a map-side join
-    pairs = blocks.join(F.broadcast(rhs), F.col("b") <= F.col("b2"))
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
-            T.StructField("cosine", T.DoubleType(), False),
-        ]
+    pairs = left.join(
+        right.hint("shuffle_hash"),
+        (F.col("b") == F.col("rb")) & (F.col("b2") == F.col("rb2")),
     )
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -400,7 +436,80 @@ def cosine_pairs_blocked(
                 )
 
     return (
-        pairs.mapInPandas(emit, out_schema)
+        pairs.mapInPandas(emit, _PAIR_SCHEMA)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block: int = 4096,
+) -> DataFrame:
+    """Exact cosine scoring of an explicit candidate-pair list via the
+    packed-block machinery: candidates are grouped by their (block_a,
+    block_b) key, each group joins its two packed blocks (shuffle join on
+    the tiny block-id key), and one vectorized gather + row-wise dot
+    scores the whole group — O(|cand| * d) flops in BLAS-shaped numpy,
+    never a per-candidate interpreted expression (measured 37 s vs ~2 s
+    on identical output for the zip_with formulation this replaces).
+
+    `cand` needs columns (id_a, id_b); output keeps only pairs with
+    cosine >= threshold."""
+    import math
+
+    n = df.count()
+    nblocks = max(1, math.ceil(n / block))
+    packed = _pack_blocks(df, nblocks, vec_col=vec_col, id_col=id_col)
+    grouped = (
+        cand.select("id_a", "id_b")
+        .withColumn(
+            "ba", F.pmod(F.xxhash64(F.col("id_a")), F.lit(nblocks)).cast("int")
+        )
+        .withColumn(
+            "bb", F.pmod(F.xxhash64(F.col("id_b")), F.lit(nblocks)).cast("int")
+        )
+        .groupBy("ba", "bb")
+        .agg(
+            F.collect_list("id_a").alias("ias"),
+            F.collect_list("id_b").alias("ibs"),
+        )
+    )
+    pa = packed.select(
+        F.col("b").alias("ba"), F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+    )
+    pb = packed.select(
+        F.col("b").alias("bb"), F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    j = grouped.join(pa.hint("shuffle_hash"), "ba").join(
+        pb.hint("shuffle_hash"), "bb"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples():
+                ids_a = np.frombuffer(r.ids_a, np.int64)
+                ids_b = np.frombuffer(r.ids_b, np.int64)
+                A = np.frombuffer(r.mat_a, np.float64).reshape(len(ids_a), -1)
+                B = np.frombuffer(r.mat_b, np.float64).reshape(len(ids_b), -1)
+                ia = np.asarray(r.ias, dtype=np.int64)
+                ib = np.asarray(r.ibs, dtype=np.int64)
+                ra = np.searchsorted(ids_a, ia)  # packed ids are sorted
+                rb = np.searchsorted(ids_b, ib)
+                cos = np.einsum("ij,ij->i", A[ra], B[rb])
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {"id_a": ia[keep], "id_b": ib[keep], "cosine": cos[keep]}
+                )
+
+    return (
+        j.mapInPandas(score, _PAIR_SCHEMA)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
@@ -429,13 +538,13 @@ def hyperplane_lsh_pairs(
       - moderate threshold (~0.4-0.6): blocking cannot be selective
         (p_plane ~ 0.63 at cos 0.4), so use FEW planes x MANY bands
         (e.g. 4 x 64: per-pair miss ~1.6e-5 at cos 0.4) and accept that
-        buckets are coarse — the verify join, not the blocking, does the
-        work. Equivalent cost to exact all-pairs but fully distributed
-        (no driver-side matrix broadcast), which is why the flagship
-        near-dup entry routes here rather than cosine_pairs_exact.
+        buckets are coarse — the verify, not the blocking, does the
+        work; prefer cosine_pairs_blocked there.
 
-    Buckets are size-capped like the MinHash path (whole-bucket drops;
-    report via operators.dedup.lsh_bucket_stats on lsh_buckets(...))."""
+    Buckets are size-capped like the MinHash path (whole-bucket drops,
+    counted and logged by default — see dedup.capped_candidate_pairs).
+    Candidate scoring runs through the packed-block BLAS machinery
+    (cosine_verify_pairs), not per-candidate interpreted zip_with dots."""
     buckets = lsh_buckets(
         df, dim=dim, n_planes=n_planes, n_bands=n_bands,
         vec_col=vec_col, id_col=id_col, seed=seed,
@@ -443,27 +552,8 @@ def hyperplane_lsh_pairs(
     from .dedup import capped_candidate_pairs
 
     cand = capped_candidate_pairs(buckets, max_bucket)
-    lhs = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    rhs = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("va").cast("array<double>"),
-            F.col("vb").cast("array<double>"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    # candidate side broadcast: two map-side joins against the corpus
-    # instead of shuffling the embedding table twice
-    return (
-        F.broadcast(cand).join(lhs, "id_a")
-        .join(rhs, "id_b")
-        .withColumn("cosine", dot / (norm_expr(F.col("va")) * norm_expr(F.col("vb"))))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    return cosine_verify_pairs(
+        df, cand, threshold, vec_col=vec_col, id_col=id_col
     )
 
 
