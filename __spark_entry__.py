@@ -441,8 +441,12 @@ def q_candidate_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic media table -> image features
-    (decode is the documented fake codec; schema/batching real)."""
+    """Multimodal plumbing: deterministic media table -> image features.
+    The decode is the documented fake codec (payload bytes -> pixel
+    buffer), but the payload bytes are splitmix64 arithmetic, so the
+    DuckDB oracle re-derives every byte, the per-pixel gray means and the
+    population stddev in pure SQL — the feature path is hash-checked, not
+    rows-only."""
     from tetrex_spark.operators.multimodal import image_features, synth_media
 
     return image_features(synth_media(spark, 24)).select(
@@ -539,8 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "gram_decode": q_gram_decode,
-        # rows-only (fake-codec features have no ANSI-SQL twin;
-        # property-tested in pytest)
+        # oracle-checked: the synthetic payload bytes are splitmix64
+        # arithmetic, so DuckDB re-derives the fake decode + gray stddev
         "multimodal_features": q_multimodal_features,
     }
 
@@ -714,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF at n_probe = n_cells is exhaustive: exactly the brute-force
     # top-k ground truth
     d["ann_topk_ivf"] = d["ann_topk"]
+    d["multimodal_features"] = _MULTIMODAL_SQL
     return d
 
 
@@ -876,6 +881,43 @@ select host, count(*) as n_docs,
        round(avg(ntok), 6) as mean_tokens
 from q group by host
 """
+
+# -- multimodal oracle: re-derives the fake image decode in pure SQL.
+# synth_media payload byte j of row i is splitmix64(i*STRIDE + j) & 255
+# (operators/multimodal.py synth_payload), and for image rows the payload
+# length equals h*w*3 exactly, so the fake decode (np.resize tiling) is
+# the identity mapping byte j -> (pixel j//3, channel j%3). gray mean per
+# pixel + population stddev per image then match numpy's float64 math to
+# well past the 1e-6 rounding grain.
+def _multimodal_sql() -> str:
+    from tetrex_spark.operators.multimodal import SYNTH_PAYLOAD_STRIDE
+
+    return f"""
+with dims as (
+  select i as media_id,
+         (16 + (i % 4) * 8) as h,
+         (16 + (i % 3) * 8) as w
+  from unnest(generate_series(0, 23)) t(i)
+  where i % 3 = 0
+),
+byt as (
+  select media_id, h, w, (j // 3) as p,
+         (media_id * {SYNTH_PAYLOAD_STRIDE} + j)::ubigint as mix
+  from dims, unnest(generate_series(0, h * w * 3 - 1)) u(j)
+),
+{_splitmix_ctes('byt', 'mix', 'hh', 'mm', ['media_id', 'h', 'w', 'p'])},
+gray as (
+  select media_id, h, w, p, sum(hh & 255) / 3.0 as g
+  from mm6 group by media_id, h, w, p
+)
+select media_id, any_value(w)::int as width, any_value(h)::int as height,
+       round(stddev_pop(g), 6) as std_gray
+from gray group by media_id
+"""
+
+
+_MULTIMODAL_SQL = _multimodal_sql()
+
 
 # -- gram-decode oracle (F12 analog): distinct (gram, splitmix64 hash)
 # pairs re-derived in SQL — hash-checks that the decode table maps every

@@ -128,24 +128,41 @@ def _decode_video(payload: bytes, meta, codec: str) -> np.ndarray:
 # -- synthetic corpus ---------------------------------------------------------
 
 
-def synth_media(spark: SparkSession, n: int = 24, seed: int = 42) -> DataFrame:
+SYNTH_PAYLOAD_STRIDE = 1_000_003
+
+
+def synth_payload(media_id: int, n: int) -> bytes:
+    """Deterministic payload byte stream: byte j of row i is
+    splitmix64(i * STRIDE + j) & 0xFF. Arithmetic (not RNG-state-based)
+    on purpose: a SQL oracle can re-derive every byte with the same
+    splitmix64 CTE machinery the fingerprint oracles use, which is what
+    makes the fake-codec feature operators hash-checkable end-to-end."""
+    from ..kernel.hashing import splitmix64
+
+    idx = np.uint64(media_id) * np.uint64(SYNTH_PAYLOAD_STRIDE) + np.arange(
+        n, dtype=np.uint64
+    )
+    return (splitmix64(idx) & np.uint64(0xFF)).astype(np.uint8).tobytes()
+
+
+def synth_media(spark: SparkSession, n: int = 24) -> DataFrame:
     """Deterministic media table: n rows cycling image/audio/video with
-    seeded payloads sized from the metadata."""
-    rng = np.random.default_rng(seed)
+    splitmix64-derived payloads sized from the metadata (see
+    synth_payload for why the bytes are arithmetic, not RNG)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             h, w, c = 16 + (i % 4) * 8, 16 + (i % 3) * 8, 3
-            payload = rng.integers(0, 256, h * w * c, dtype=np.uint8).tobytes()
+            payload = synth_payload(i, h * w * c)
             meta = (w, h, c, None, None, "fake-rgb")
         elif kind == "audio":
             sr, n_samp = 8000, 4000 + (i % 5) * 1000
-            payload = rng.integers(0, 256, n_samp, dtype=np.uint8).tobytes()
+            payload = synth_payload(i, n_samp)
             meta = (None, None, 1, sr, None, "fake-pcm8")
         else:
             h, w, c, nf = 8, 8, 3, 6 + (i % 3) * 2
-            payload = rng.integers(0, 256, nf * h * w * c, dtype=np.uint8).tobytes()
+            payload = synth_payload(i, nf * h * w * c)
             meta = (w, h, c, None, nf, "fake-rgbseq")
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
