@@ -135,3 +135,33 @@ def test_html_extraction_docs_are_searchable(webtext):
     token = doc["norm"].split()[1]
     hits = {u for (u, _, _, _) in spark_hits(idx.query(corpus, token))}
     assert doc["url"] in hits
+
+
+def test_salted_build_identical_hits_and_spread(spark, tmp_path, webtext):
+    """MotifIndex.build(salt_hot_hosts='auto') on the skewed webtext
+    corpus (h0 owns half the docs): the hot host is detected, recorded in
+    the manifest, spread over multiple bins — and every query's hit set
+    is byte-identical to the unsalted index (salted shards are ordinary
+    bins; queries need zero caller involvement)."""
+    from tetrex_spark.sources.corpus import with_bin_id
+
+    corpus, idx_plain, pdf = webtext
+    path = str(tmp_path / "idx_salted")
+    idx = MotifIndex.build(
+        corpus, path, n_bins=16, k=3, salt_hot_hosts="auto", hot_factor=2.0
+    )
+    assert idx.manifest["salted_hosts"] == ["h0.example"]
+    # the hot host's docs really spread over > 1 bin now
+    binned = with_bin_id(
+        corpus, 16, salt_hot_hosts=idx.manifest["salted_hosts"],
+        n_salt=idx.manifest["n_salt"],
+    ).toPandas()
+    h0_bins = set(binned[binned["url"].str.contains("//h0.example")]["bin_id"])
+    assert len(h0_bins) > 1
+    unsalted = with_bin_id(corpus, 16).toPandas()
+    h0_before = set(unsalted[unsalted["url"].str.contains("//h0.example")]["bin_id"])
+    assert len(h0_before) == 1
+    # identical hit sets across patterns, salted index loaded fresh
+    idx2 = MotifIndex.load(spark, path)
+    for pattern in WEB_PATTERNS[:4]:
+        assert spark_hits(idx2.query(corpus, pattern)) == oracle_hits(pdf, pattern)

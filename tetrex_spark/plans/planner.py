@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_query
 from ..operators.sketch_build import SketchSpec, build_sketches, max_bin_cardinality
 from ..operators.verify import prune_to_bins, verify_conjunctive, verify_regex
-from ..sources.corpus import with_bin_id
+from ..sources.corpus import hot_hosts, with_bin_id
 from ..sources.sketch_store import (
     BloomMatrix,
     read_manifest,
@@ -84,17 +84,38 @@ class MotifIndex:
         fpr: float = 0.05,
         n_hashes: int = 3,
         bin_key=None,
+        salt_hot_hosts: str | list[str] | None = None,
+        n_salt: int = 8,
+        hot_factor: float = 4.0,
     ) -> "MotifIndex":
         """`tetrex index` analog. Sizes the filters to the largest bin
         (include/index_ibf.h:133-139) via a JVM-only pre-pass.
 
-        A corpus that already carries bin_id (e.g. hot-host-salted via
+        `salt_hot_hosts` wires the north-rule salted-repartitioning clause
+        into the build itself: 'auto' detects hosts exceeding `hot_factor`
+        x the mean bin load (sources.corpus.hot_hosts) and spreads each
+        over `n_salt` salt-shards; an explicit host list skips detection
+        (e.g. fed from lineage.skew_report). The salted assignment is
+        RECORDED IN THE MANIFEST, so query()/query_all() recompute the
+        identical bin ids with zero caller involvement — hit sets are
+        unchanged (salted shards are ordinary bins; property-tested), only
+        the hot host's verify scan stops concentrating in one bin. This is
+        the recommended setting for skewed web corpora.
+
+        A corpus that already carries bin_id (e.g. pre-salted via
         with_bin_id(salt_hot_hosts=...)) keeps its assignment — query()
         honors the same rule, so build and prune always agree."""
+        if salt_hot_hosts == "auto":
+            salted = hot_hosts(corpus, n_bins, factor=hot_factor)
+        else:
+            salted = sorted(salt_hot_hosts) if salt_hot_hosts else []
         binned = (
             corpus
             if "bin_id" in corpus.columns
-            else with_bin_id(corpus, n_bins, bin_key=bin_key)
+            else with_bin_id(
+                corpus, n_bins, bin_key=bin_key,
+                salt_hot_hosts=salted or None, n_salt=n_salt,
+            )
         )
         n_max = max_bin_cardinality(binned, "char_kgram", k)
         m_bits = bloom_m_bits(n_max, fpr)
@@ -112,7 +133,10 @@ class MotifIndex:
             path,
             [spec],
             n_bins,
-            extra={"k": k, "fpr": fpr, "alphabet": alphabet},
+            extra={
+                "k": k, "fpr": fpr, "alphabet": alphabet,
+                "salted_hosts": salted, "n_salt": n_salt,
+            },
         )
         spark = corpus.sparkSession
         return MotifIndex.load(spark, path)
@@ -127,14 +151,29 @@ class MotifIndex:
         return MotifIndex(bloom, manifest, manifest["k"], manifest["alphabet"],
                           dgram=dgram)
 
+    def _binned(self, corpus: DataFrame, n_bins: int, bin_key=None) -> DataFrame:
+        """Bin assignment matching THIS index's manifest — including any
+        recorded hot-host salting, so build, d-gram track and query prune
+        always agree on bin ids."""
+        if "bin_id" in corpus.columns:
+            return corpus
+        return with_bin_id(
+            corpus, n_bins, bin_key=bin_key,
+            salt_hot_hosts=self.manifest.get("salted_hosts") or None,
+            n_salt=self.manifest.get("n_salt", 8),
+        )
+
     def track(self, corpus: DataFrame, path: str, *, min_gap: int = 1,
               max_gap: int = 21, bin_key=None) -> "MotifIndex":
         """`tetrex track` analog: add the gapped-gram sketch family to
-        this index and reload (src/dGramIndex.cpp:20-38)."""
+        this index and reload (src/dGramIndex.cpp:20-38). The corpus is
+        binned with the manifest's (possibly salted) assignment before the
+        d-gram build so both sketch families prune identically."""
         from .dgram import build_dgram_index
 
         build_dgram_index(
-            corpus, path, n_bins=self.manifest["n_bins"],
+            self._binned(corpus, self.manifest["n_bins"], bin_key), path,
+            n_bins=self.manifest["n_bins"],
             min_gap=min_gap, max_gap=max_gap, bin_key=bin_key,
         )
         return MotifIndex.load(corpus.sparkSession, path)
@@ -167,11 +206,7 @@ class MotifIndex:
         same deterministic hash so ids line up."""
         n_bins = n_bins or self.manifest["n_bins"]
         res = self.candidate_bins(pattern)
-        binned = (
-            corpus
-            if "bin_id" in corpus.columns
-            else with_bin_id(corpus, n_bins, bin_key=bin_key)
-        )
+        binned = self._binned(corpus, n_bins, bin_key)
         pruned = prune_to_bins(binned, res.bin_ids(), n_bins)
         return verify_regex(pruned, normalize_query(pattern))
 
@@ -191,10 +226,6 @@ class MotifIndex:
         for p in patterns:
             vec &= self.candidate_bins(p).bins
         bin_ids = [int(i) for i in np.nonzero(vec)[0]]
-        binned = (
-            corpus
-            if "bin_id" in corpus.columns
-            else with_bin_id(corpus, n_bins, bin_key=bin_key)
-        )
+        binned = self._binned(corpus, n_bins, bin_key)
         pruned = prune_to_bins(binned, bin_ids, n_bins)
         return verify_conjunctive(pruned, [normalize_query(p) for p in patterns])
