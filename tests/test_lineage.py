@@ -77,3 +77,68 @@ def test_skew_report(spark, corpus, tmp_path):
     assert "bloom" in rep and rep["bloom"]["items"] > 0
     # webtext_small is host-skewed by construction: h0 owns half the docs
     assert rep["bloom"]["max_to_mean_ratio"] > 1.0
+
+
+# -- dedup pipeline resume ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dedup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[0][1]))  # exact dups
+    rows.append((101, rows[0][1]))
+    near = rows[5][1].split()
+    near[-1] = "tonight"
+    rows.append((102, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_checkpointed_dedup_kill_after_banding_resumes_identical(
+    spark, dedup_docs, tmp_path
+):
+    """Kill the pipeline after a sigset chunk AND after the banding/verify
+    stage; each resumed run must land on byte-identical pairs to the
+    single-shot operator."""
+    from tetrex_spark.lineage import CheckpointedDedup
+    from tetrex_spark.operators.dedup import minhash_lsh_pairs
+
+    want = _pairs_set(minhash_lsh_pairs(dedup_docs, k=3, threshold=0.7))
+    d = str(tmp_path / "dedup_ckpt")
+    # kill #1: mid sigset stage (only chunks 0..2 committed)
+    cd = CheckpointedDedup(d, threshold=0.7, n_chunks=8)
+    assert cd.run(dedup_docs, stop_after="sigsets:2") is None
+    committed = cd.committed()
+    assert committed == {"sigsets:0", "sigsets:1", "sigsets:2"}
+    # kill #2: right after the banding+verify (pairs) stage
+    cd2 = CheckpointedDedup(d, threshold=0.7, n_chunks=8)
+    assert cd2.run(dedup_docs, stop_after="pairs") is None
+    assert "pairs" in cd2.committed()
+    # resume to completion: byte-identical to the single-shot operator
+    cd3 = CheckpointedDedup(d, threshold=0.7, n_chunks=8)
+    out = cd3.run(dedup_docs)
+    assert _pairs_set(out) == want
+    # committed stages were never re-executed: exactly one commit each
+    stages = [r["stage"] for r in cd3.lineage() if r["status"] == "committed"]
+    assert len(stages) == len(set(stages)) == 9  # 8 sigset chunks + pairs
+
+
+def test_checkpointed_dedup_rep_level_output(spark, dedup_docs, tmp_path):
+    from tetrex_spark.lineage import CheckpointedDedup
+    from tetrex_spark.operators.dedup import minhash_lsh_pairs
+
+    d = str(tmp_path / "dedup_ckpt_rep")
+    cd = CheckpointedDedup(d, threshold=0.7, n_chunks=4)
+    got = _pairs_set(cd.run(dedup_docs, expand_exact_dups=False))
+    want = _pairs_set(
+        minhash_lsh_pairs(dedup_docs, k=3, threshold=0.7, expand_exact_dups=False)
+    )
+    assert got == want and got

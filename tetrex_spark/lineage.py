@@ -151,3 +151,135 @@ class CheckpointedBuild:
                 ratio = m["max_bin_items"] * m["bins"] / max(m["items"], 1)
                 agg["max_to_mean_ratio"] = max(agg["max_to_mean_ratio"], round(ratio, 3))
         return out
+
+
+class CheckpointedDedup:
+    """Resumable MinHash-LSH near-dup pipeline (the dedup counterpart of
+    CheckpointedBuild — round-2 review asked for exactly this).
+
+    Stage model, each committed to the JSONL lineage log:
+
+      sigsets:<i>  the rep-level fused signature+set table, in
+                   `n_chunks` deterministic chunks of the rep id space
+                   (pmod(xxhash64(id), n_chunks) — stable across runs
+                   and parallelism), each written atomically to
+                   `<dir>/sigsets/chunk=<i>/`.
+      pairs        verified rep-level near-dup pairs computed FROM THE
+                   STORED sigset chunks (banding + cap + exact-Jaccard
+                   verify), written to `<dir>/rep_pairs/`.
+
+    A killed job resumes at the first uncommitted stage; the expanded
+    member-level pair list (and any clustering on top — the CC rounds
+    are a deterministic function of the stored pairs) is recomputed
+    lazily from (docs, stored rep_pairs), so a resumed run is
+    byte-identical to a single-shot one — tested by killing after the
+    banding/sigset stage. `stop_after` ("sigsets:<i>" | "pairs")
+    simulates the kill in tests."""
+
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        *,
+        k: int = 3,
+        num_perm: int = 128,
+        bands: int = 32,
+        threshold: float = 0.8,
+        max_bucket: int | None = 512,
+        n_chunks: int = 8,
+        build_id: str = "dedup-0",
+    ):
+        if num_perm % bands:
+            raise ValueError("bands must divide num_perm")
+        self.dir = checkpoint_dir
+        self.k, self.num_perm, self.bands = k, num_perm, bands
+        self.threshold, self.max_bucket = threshold, max_bucket
+        self.n_chunks, self.build_id = n_chunks, build_id
+        os.makedirs(f"{self.dir}/sigsets", exist_ok=True)
+
+    def _lineage_path(self) -> str:
+        return f"{self.dir}/{LINEAGE_FILE}"
+
+    def lineage(self) -> list[dict]:
+        if not os.path.exists(self._lineage_path()):
+            return []
+        with open(self._lineage_path()) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def committed(self) -> set[str]:
+        return {
+            r["stage"]
+            for r in self.lineage()
+            if r["build_id"] == self.build_id and r["status"] == "committed"
+        }
+
+    def _commit(self, stage: str, **metrics) -> None:
+        with open(self._lineage_path(), "a") as f:
+            f.write(
+                json.dumps(
+                    {"build_id": self.build_id, "stage": stage,
+                     "status": "committed", **metrics},
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+
+    # -- stages -----------------------------------------------------------
+
+    def run(
+        self,
+        df: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        resume: bool = True,
+        stop_after: str | None = None,
+        expand_exact_dups: bool = True,
+    ) -> DataFrame | None:
+        """Build (or resume) the pipeline; returns the member-level pair
+        DataFrame (rep-level with expand_exact_dups=False), or None when
+        `stop_after` simulated a kill."""
+        from .operators.dedup import (
+            dup_groups,
+            expand_rep_pairs,
+            minhash_sigs_and_sets,
+            verify_rep_pairs,
+        )
+
+        spark = df.sparkSession
+        docs, reps = dup_groups(df, text_col, id_col)
+        done = self.committed() if resume else set()
+        for chunk in range(self.n_chunks):
+            stage = f"sigsets:{chunk}"
+            if stage in done:
+                continue
+            t0 = time.time()
+            part = minhash_sigs_and_sets(
+                reps.filter(
+                    F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_chunks)) == chunk
+                ),
+                self.k, self.num_perm, "txt", "id",
+            )
+            path = f"{self.dir}/sigsets/chunk={chunk}"
+            part.write.mode("overwrite").parquet(path)
+            n = spark.read.parquet(path).count()
+            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == stage:
+                return None
+        ss = spark.read.parquet(
+            *[f"{self.dir}/sigsets/chunk={i}" for i in range(self.n_chunks)]
+        )
+        if "pairs" not in (self.committed() if resume else set()):
+            t0 = time.time()
+            rp = verify_rep_pairs(
+                ss, bands=self.bands, r=self.num_perm // self.bands,
+                threshold=self.threshold, max_bucket=self.max_bucket,
+            )
+            rp.write.mode("overwrite").parquet(f"{self.dir}/rep_pairs")
+            n = spark.read.parquet(f"{self.dir}/rep_pairs").count()
+            self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == "pairs":
+                return None
+        rep_pairs = spark.read.parquet(f"{self.dir}/rep_pairs")
+        if not expand_exact_dups:
+            return rep_pairs
+        return expand_rep_pairs(docs, reps, rep_pairs, self.k)

@@ -304,35 +304,12 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
     # 1. exact-dup pre-collapse (map-side combine does the heavy lifting)
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
-        F.md5(norm_col(text_col)).alias("grp"),
-    )
-    reps = docs.groupBy("grp").agg(
-        F.min("id").alias("id"),
-        F.first("txt").alias("txt"),
-        F.count(F.lit(1)).alias("csize"),
-    )
+    docs, reps = dup_groups(df, text_col, id_col)
     # 2. one fused kernel pass, persisted for its two consumers
     ss = minhash_sigs_and_sets(reps, k, num_perm, "txt", "id").persist()
-    # 3. capped blocking
-    cand = capped_candidate_pairs(band_buckets(ss, bands, r), max_bucket)
-    # 4. exact verify on candidates only (filter-then-verify, the
-    # reference's query.h:265-281 architecture transplanted to similarity).
-    # The (tiny) candidate-pair side is broadcast into two map-side joins;
-    # jaccard is array_intersect arithmetic on the persisted sets.
-    sa = ss.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = ss.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
-    inter = F.size(F.array_intersect("s_a", "s_b"))
-    rep_pairs = (
-        F.broadcast(cand).join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            inter / (F.size("s_a") + F.size("s_b") - inter),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # 3+4. capped blocking + exact verify on candidates only
+    rep_pairs = verify_rep_pairs(
+        ss, bands=bands, r=r, threshold=threshold, max_bucket=max_bucket
     )
     # rep pairs are tiny (candidate-bounded); materialize them so the
     # persisted sig/set table can be released NOW instead of leaking
@@ -343,6 +320,61 @@ def minhash_lsh_pairs(
     if not expand_exact_dups:
         return rep_pairs
     # 5. expand representative pairs to member pairs
+    return expand_rep_pairs(docs, reps, rep_pairs, k)
+
+
+def dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, reps): exact-dup pre-collapse by md5(normalized text).
+    docs = (id, txt, grp); reps = one representative row per distinct
+    text (min id, the text, the member count). Deterministic — the same
+    derivation at any parallelism, which is what lets the checkpointed
+    dedup pipeline (lineage.CheckpointedDedup) recompute it on resume."""
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.md5(norm_col(text_col)).alias("grp"),
+    )
+    reps = docs.groupBy("grp").agg(
+        F.min("id").alias("id"),
+        F.first("txt").alias("txt"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    return docs, reps
+
+
+def verify_rep_pairs(
+    ss: DataFrame, *, bands: int, r: int, threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Rep-level near-dup pairs from a sig/set table: banded blocking
+    (size-capped) then exact-Jaccard verify on candidates only — the
+    reference's filter-then-verify (query.h:265-281) transplanted to
+    similarity. The (tiny) candidate-pair side is broadcast into two
+    map-side joins; jaccard is array_intersect arithmetic on the sets."""
+    cand = capped_candidate_pairs(band_buckets(ss, bands, r), max_bucket)
+    sa = ss.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = ss.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        F.broadcast(cand).join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("s_a") + F.size("s_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def expand_rep_pairs(
+    docs: DataFrame, reps: DataFrame, rep_pairs: DataFrame, k: int
+) -> DataFrame:
+    """Expand verified representative pairs to member pairs: cross-group
+    pairs inherit the representatives' jaccard (identical normalized text
+    => identical shingle set); intra-group pairs are exact duplicates
+    (jaccard 1.0)."""
     members = docs.select("grp", "id")
     rg = reps.select(F.col("id").alias("rid"), F.col("grp").alias("rgrp"))
     pairs_g = (
@@ -368,8 +400,8 @@ def minhash_lsh_pairs(
     # representative produced a shingle set (>= k tokens) — docs without
     # shingles have no jaccard to anything, matching the exact oracle.
     # "has a sig row" == "normalized text has >= k tokens", re-expressed
-    # as a JVM predicate so this branch never re-reads the (already
-    # released) sig/set table
+    # as a JVM predicate so this branch never re-reads the (possibly
+    # already released) sig/set table
     elig = reps.filter(
         (F.col("csize") > 1)
         & (F.length(norm_col("txt")) > 0)
