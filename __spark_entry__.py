@@ -289,9 +289,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the high-threshold (>= ~0.9) path, recall-property-tested in pytest."""
     from tetrex_spark.operators.similarity import cosine_pairs_blocked
 
-    return cosine_pairs_blocked(
-        _emb(spark, sf_dir), COS_T, block=1024
-    ).select("id_a", "id_b")
+    # default block=4096: at this corpus size the packer yields ONE block
+    # and the operator takes its no-join diagonal fast path (a single
+    # matmul task — the plan you'd want here); larger corpora spill into
+    # the shuffled (b1, b2) block-pair join, which is plan- and
+    # value-tested in pytest (never a broadcast of the packed matrix)
+    return cosine_pairs_blocked(_emb(spark, sf_dir), COS_T).select(
+        "id_a", "id_b"
+    )
 
 
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

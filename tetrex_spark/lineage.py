@@ -270,11 +270,15 @@ class CheckpointedDedup:
         )
         if "pairs" not in (self.committed() if resume else set()):
             t0 = time.time()
+            handles: list = []
             rp = verify_rep_pairs(
                 ss, bands=self.bands, r=self.num_perm // self.bands,
                 threshold=self.threshold, max_bucket=self.max_bucket,
+                release=handles,
             )
             rp.write.mode("overwrite").parquet(f"{self.dir}/rep_pairs")
+            for h in handles:
+                h.unpersist()
             n = spark.read.parquet(f"{self.dir}/rep_pairs").count()
             self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
             if stop_after == "pairs":

@@ -185,7 +185,8 @@ def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
 
 
 def capped_candidate_pairs(
-    buckets: DataFrame, max_bucket: int | None, *, log_drops: bool = True
+    buckets: DataFrame, max_bucket: int | None, *, log_drops: bool = True,
+    release: list | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from a (id, band, bh) bucket
     table, skipping buckets with more than `max_bucket` members.
@@ -202,11 +203,14 @@ def capped_candidate_pairs(
     at the default banding that means a genuine giant near-dup cluster,
     which the cap converts from a quadratic join into a bounded one.
 
-    With a cap active the bucket table is persisted (the stats pass, the
-    size aggregate and both self-join sides read it without recomputing
-    upstream) and the candidate list — bounded by construction — is
-    eagerly localCheckpoint-ed so the cache can be released before
-    returning: no storage leak across repeated calls."""
+    With a cap active the bucket table is persisted (the size/stats pass
+    and both self-join sides read it without recomputing upstream). The
+    cache is released without leaking in one of two ways: a caller that
+    materializes the candidates itself passes `release` (a list the
+    persisted handle is appended to, to unpersist after its own
+    checkpoint — ONE materialization job total); with release=None the
+    bounded candidate list is eagerly localCheckpoint-ed here and the
+    cache dropped before returning."""
     capped = max_bucket is not None
     ours = capped and not (
         buckets.storageLevel.useMemory or buckets.storageLevel.useDisk
@@ -215,12 +219,30 @@ def capped_candidate_pairs(
         buckets = buckets.persist()
     cached = buckets
     if capped:
-        if log_drops:
-            lsh_bucket_stats(buckets, max_bucket)  # warn-logs any drop
-        sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bc"))
-        over = sizes.filter(F.col("bc") > max_bucket).select("band", "bh")
-        # over-cap bucket list is tiny by construction (<= n/max_bucket rows)
-        buckets = buckets.join(F.broadcast(over), ["band", "bh"], "left_anti")
+        import logging
+
+        # ONE size aggregate: the over-cap list (tiny by construction,
+        # <= n/max_bucket rows) is collected, logged, and re-fed as a
+        # literal anti-join side — visibility and the cap share the scan
+        over_rows = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("bc"))
+            .filter(F.col("bc") > max_bucket)
+            .collect()
+        )
+        if over_rows:
+            if log_drops:
+                logging.getLogger(__name__).warning(
+                    "LSH bucket cap %d drops %d buckets (%d member rows; "
+                    "largest %d); pairs in them surface only via other bands",
+                    max_bucket, len(over_rows),
+                    sum(r["bc"] for r in over_rows),
+                    max(r["bc"] for r in over_rows),
+                )
+            over = buckets.sparkSession.createDataFrame(
+                [(r["band"], r["bh"]) for r in over_rows], "band int, bh long"
+            )
+            buckets = buckets.join(F.broadcast(over), ["band", "bh"], "left_anti")
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
         x.join(
@@ -233,8 +255,11 @@ def capped_candidate_pairs(
         .distinct()
     )
     if ours:
-        cand = cand.localCheckpoint(eager=True)
-        cached.unpersist()
+        if release is not None:
+            release.append(cached)
+        else:
+            cand = cand.localCheckpoint(eager=True)
+            cached.unpersist()
     return cand
 
 
@@ -308,14 +333,18 @@ def minhash_lsh_pairs(
     # 2. one fused kernel pass, persisted for its two consumers
     ss = minhash_sigs_and_sets(reps, k, num_perm, "txt", "id").persist()
     # 3+4. capped blocking + exact verify on candidates only
+    handles: list = []
     rep_pairs = verify_rep_pairs(
-        ss, bands=bands, r=r, threshold=threshold, max_bucket=max_bucket
+        ss, bands=bands, r=r, threshold=threshold, max_bucket=max_bucket,
+        release=handles,
     )
-    # rep pairs are tiny (candidate-bounded); materialize them so the
-    # persisted sig/set table can be released NOW instead of leaking
-    # cached blocks across repeated calls (the expansion below reads only
+    # rep pairs are tiny (candidate-bounded); materialize them so every
+    # intermediate cache can be released NOW instead of leaking cached
+    # blocks across repeated calls (the expansion below reads only
     # docs/reps, never ss)
     rep_pairs = rep_pairs.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
     ss.unpersist()
     if not expand_exact_dups:
         return rep_pairs
@@ -346,14 +375,18 @@ def dup_groups(
 
 def verify_rep_pairs(
     ss: DataFrame, *, bands: int, r: int, threshold: float,
-    max_bucket: int | None,
+    max_bucket: int | None, release: list | None = None,
 ) -> DataFrame:
     """Rep-level near-dup pairs from a sig/set table: banded blocking
     (size-capped) then exact-Jaccard verify on candidates only — the
     reference's filter-then-verify (query.h:265-281) transplanted to
     similarity. The (tiny) candidate-pair side is broadcast into two
-    map-side joins; jaccard is array_intersect arithmetic on the sets."""
-    cand = capped_candidate_pairs(band_buckets(ss, bands, r), max_bucket)
+    map-side joins; jaccard is array_intersect arithmetic on the sets.
+    `release` forwards to capped_candidate_pairs (cache-release
+    contract)."""
+    cand = capped_candidate_pairs(
+        band_buckets(ss, bands, r), max_bucket, release=release
+    )
     sa = ss.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     sb = ss.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
@@ -565,7 +598,8 @@ def simhash_pairs_from_fingerprints(
     buckets = groups.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    cand = capped_candidate_pairs(buckets, max_bucket)
+    handles: list = []
+    cand = capped_candidate_pairs(buckets, max_bucket, release=handles)
     ga = groups.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     gb = groups.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     rep_pairs = (
@@ -577,6 +611,8 @@ def simhash_pairs_from_fingerprints(
         .filter(F.col("hamming") <= max_hamming)
         .localCheckpoint(eager=True)  # tiny: candidate-bounded
     )
+    for h in handles:
+        h.unpersist()
     if not expand_exact_dups:
         groups.unpersist()
         if own_sh:

@@ -397,22 +397,29 @@ def cosine_pairs_blocked(
     n = df.count()
     nblocks = max(1, math.ceil(n / block))
     blocks = _pack_blocks(df, nblocks, vec_col=vec_col, id_col=id_col)
-    # left block b joins every partner b2 >= b; right block b2 joins every
-    # b1 <= b2 — (b1, b2) pair keys are unique on both sides
-    left = blocks.withColumn(
-        "b2", F.explode(F.sequence(F.col("b"), F.lit(nblocks - 1)))
-    )
-    right = (
-        blocks.select(
-            F.col("b").alias("rb2"), F.col("ids").alias("ids2"),
-            F.col("mat").alias("mat2"),
+    if nblocks == 1:
+        # single block: the only pair is the diagonal — no join at all
+        pairs = blocks.select(
+            "b", "ids", "mat", F.col("b").alias("b2"),
+            F.col("ids").alias("ids2"), F.col("mat").alias("mat2"),
         )
-        .withColumn("rb", F.explode(F.sequence(F.lit(0), F.col("rb2"))))
-    )
-    pairs = left.join(
-        right.hint("shuffle_hash"),
-        (F.col("b") == F.col("rb")) & (F.col("b2") == F.col("rb2")),
-    )
+    else:
+        # left block b joins every partner b2 >= b; right block b2 joins
+        # every b1 <= b2 — (b1, b2) pair keys are unique on both sides
+        left = blocks.withColumn(
+            "b2", F.explode(F.sequence(F.col("b"), F.lit(nblocks - 1)))
+        )
+        right = (
+            blocks.select(
+                F.col("b").alias("rb2"), F.col("ids").alias("ids2"),
+                F.col("mat").alias("mat2"),
+            )
+            .withColumn("rb", F.explode(F.sequence(F.lit(0), F.col("rb2"))))
+        )
+        pairs = left.join(
+            right.hint("shuffle_hash"),
+            (F.col("b") == F.col("rb")) & (F.col("b2") == F.col("rb2")),
+        )
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
