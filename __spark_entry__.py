@@ -299,6 +299,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs -> per-vector cluster assignment + keep
+    flag: the same large-star/small-star CC machinery as dedup_clusters,
+    composed over cosine_pairs_blocked — the full embedding-dedup
+    pipeline (pairs -> components -> keep list) a curation job runs.
+    Oracle: recursive-CTE closure of the exact cosine pair graph."""
+    from tetrex_spark.operators.clusters import dedup_keep_list
+    from tetrex_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_pairs_blocked(emb, COS_T).select("id_a", "id_b")
+    return dedup_keep_list(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= t via broadcast matmul — the oracle twin
     of the LSH entry above (O(n^2) compute but O(n*d) shuffle; capped at
@@ -538,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "embedding_clusters": q_embedding_clusters,
         # oracle-checked via exact ground truth + bound verdicts
         "sketch_estimates": q_sketch_estimates,
         "candidate_bins": q_candidate_bins,
@@ -565,6 +580,23 @@ _EMB_PAIRS_SQL = f"""
     from embeddings a join embeddings b on a.vec_id < b.vec_id
     where list_cosine_similarity(a.embedding::double[], b.embedding::double[])
           >= {COS_T}
+"""
+
+# embedding_clusters oracle: transitive closure of the exact cosine pair
+# graph (same fixpoint the large-star/small-star rounds converge to).
+_EMB_CLUSTERS_SQL = f"""
+with recursive p as ({_EMB_PAIRS_SQL}),
+edges as (
+  select id_a as a, id_b as b from p
+  union select id_b, id_a from p
+),
+reach(id, r) as (
+  select vec_id, vec_id from embeddings
+  union
+  select rc.id, e.b from reach rc join edges e on e.a = rc.r
+),
+comp as (select id, min(r) as component from reach group by id)
+select id, component, (component = id)::int as keep from comp
 """
 
 _HH_TOP20_SQL = f"""
@@ -683,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _EMB_PAIRS_SQL,
         "embedding_near_dup_exact": _EMB_PAIRS_SQL,
+        "embedding_clusters": _EMB_CLUSTERS_SQL,
         "candidate_bins": " union all ".join(
             f"""
             select '{p.replace("'", "''")}' as pattern, {_URL} as url
