@@ -469,3 +469,54 @@ def test_ivf_exhaustive_equals_exact_and_pruned_recall(vectors):
     for qid in queries:
         overlap = len(by_q.get(qid, set()) & exact_by_q[qid]) / 5
         assert overlap >= 0.8, (qid, overlap)
+
+
+def test_topk_deterministic_on_duplicate_embeddings(spark):
+    """ADVICE r02 scenario: > k candidates tie at the boundary score
+    (duplicate vectors). The partial top-k must keep the ids the global
+    (cosine desc, id asc) tie-break needs — output is deterministic and
+    equal for the brute-force and IVF-exhaustive paths."""
+    from tetrex_spark.operators.similarity import cosine_topk_batch, ivf_topk_batch
+
+    v = [1.0] + [0.0] * 7
+    w = [0.0, 1.0] + [0.0] * 6
+    rows = [(i, v) for i in range(12)] + [(100 + i, w) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # query == v: all 12 copies tie at cosine 1.0; top-5 must be ids 0..4
+    want = [(0, i, i + 1) for i in range(5)]
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in cosine_topk_batch(df, {0: v}, k=5).collect()
+    )
+    assert got == want
+    got_ivf = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk_batch(df, {0: v}, k=5, n_cells=4, n_probe=4).collect()
+    )
+    assert got_ivf == want
+
+
+def test_ivf_cell_partitioned_corpus_prunes_files(spark, tmp_path, vectors):
+    """The IVF scale claim made concrete: a corpus materialized
+    partitioned-by-cell turns n_probe cell selection into file-level
+    partition pruning (PartitionFilters in the scan, only the probed
+    cells' files read)."""
+    import contextlib
+    import io
+
+    from tetrex_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    df, _ = vectors
+    cents = train_ivf_centroids(df, 8)
+    out = str(tmp_path / "ivf_corpus")
+    ivf_assign(df, cents).write.partitionBy("cell").parquet(out)
+    stored = spark.read.parquet(out)
+    probed = stored.where(F.col("cell").isin([0, 3]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # and the probe reads only the selected cells' rows
+    want = {r["vec_id"] for r in stored.collect() if r["cell"] in (0, 3)}
+    assert {r["vec_id"] for r in probed.collect()} == want and want
