@@ -4,6 +4,7 @@ recall; CLI surface goldens."""
 import re
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from tetrex_spark.functions.text import corpus_text_series
@@ -174,3 +175,43 @@ def test_cli_analyze_writes_gate_tables(spark, tmp_path, capsys):
     with _pt.raises(SystemExit):
         main(["analyze", "--corpus", corpus_path, "--output", out_dir,
               "--gates", "nope"])
+
+
+def test_cli_dedup_resumable_keep_list(spark, tmp_path, capsys):
+    """`tetrex_spark dedup`: checkpointed pairs + CC keep-list; a second
+    invocation resumes (no stage re-execution) and rewrites identical
+    outputs."""
+    import json
+
+    from tetrex_spark.cli import main
+    from tetrex_spark.sources.corpus import webtext_small
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus = webtext_small(spark)
+    # plant an exact duplicate pair so the keep-list has a decision to make
+    dup = corpus.limit(1).withColumn(
+        "url", F.concat(F.col("url"), F.lit("-copy"))
+    )
+    corpus.unionByName(dup).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "dedup_out")
+    rc = main(["dedup", "--corpus", corpus_path, "--output", out_dir,
+               "--threshold", "0.7", "--chunks", "4"])
+    assert rc == 0
+    keep = spark.read.parquet(f"{out_dir}/keep")
+    n = keep.count()
+    assert n == 65  # 64 docs + the planted copy
+    assert keep.filter("keep = 1").count() < n  # the copy was dropped
+    pairs1 = {
+        tuple(r) for r in spark.read.parquet(f"{out_dir}/pairs").collect()
+    }
+    # second run resumes: same outputs, no new stage commits
+    lineage_path = f"{out_dir}/_checkpoint/lineage.jsonl"
+    n_commits = sum(1 for _ in open(lineage_path))
+    rc = main(["dedup", "--corpus", corpus_path, "--output", out_dir,
+               "--threshold", "0.7", "--chunks", "4"])
+    assert rc == 0
+    assert sum(1 for _ in open(lineage_path)) == n_commits
+    pairs2 = {
+        tuple(r) for r in spark.read.parquet(f"{out_dir}/pairs").collect()
+    }
+    assert pairs1 == pairs2

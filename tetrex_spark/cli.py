@@ -51,9 +51,12 @@ def cmd_index(args) -> int:
 
     spark = _spark("index")
     corpus = read_corpus(spark, args.corpus)
+    salt = getattr(args, "salt_hot_hosts", None)
+    if salt and salt != "auto":
+        salt = salt.split(",")
     MotifIndex.build(
         corpus, args.output, n_bins=args.bins, k=args.k,
-        fpr=args.fpr, n_hashes=args.hash_count,
+        fpr=args.fpr, n_hashes=args.hash_count, salt_hot_hosts=salt,
     )
     n = corpus.count()
     # build golden parity: 'Indexed N sequences across B bins.'
@@ -167,6 +170,43 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Resumable near-dup dedup over a corpus: MinHash-LSH pairs through
+    the checkpointed pipeline (a killed run resumes at the first
+    uncommitted stage; re-running a finished one only re-reads), then the
+    connected-components keep-list. Writes pairs/ and keep/ parquet under
+    --output; stage lineage under --checkpoint."""
+    from .lineage import CheckpointedDedup
+    from .operators.clusters import dedup_keep_list
+
+    from pyspark.sql import functions as F
+
+    spark = _spark("dedup")
+    corpus = read_corpus(spark, args.corpus)
+    # the sig/set pipeline keys on int64 ids; string ids (urls) map
+    # through xxhash64 (collision odds ~n^2/2^64) and join back below
+    keyed = corpus.withColumn("_did", F.xxhash64(F.col(args.id_col)))
+    cd = CheckpointedDedup(
+        args.checkpoint or f"{args.output}/_checkpoint",
+        k=args.k, threshold=args.threshold, n_chunks=args.chunks,
+    )
+    pairs = cd.run(keyed, text_col=args.text_col, id_col="_did")
+    pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+    stored = spark.read.parquet(f"{args.output}/pairs")
+    ids = keyed.select(F.col("_did"), F.col(args.id_col))
+    keep = (
+        dedup_keep_list(ids.select("_did"), stored, id_col="_did")
+        .join(ids.withColumnRenamed("_did", "id"), "id")
+        .select(args.id_col, "component", "keep")
+    )
+    keep.write.mode("overwrite").parquet(f"{args.output}/keep")
+    kept = keep.filter("keep = 1").count()
+    total = keep.count()
+    print(f"Deduplicated {total} documents: kept {kept}, "
+          f"{stored.count()} near-dup pairs.")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tetrex_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,6 +218,8 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--k", type=int, default=3)
     pi.add_argument("--fpr", type=float, default=0.05)
     pi.add_argument("--hash-count", type=int, default=3)
+    pi.add_argument("--salt-hot-hosts", default=None,
+                    help="'auto' (detect skewed hosts) or a comma host list")
     pi.set_defaults(fn=cmd_index)
 
     pq = sub.add_parser("query")
@@ -209,6 +251,18 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--gates", default=None,
                     help="comma list of quality,pii,stats,hosts (default all)")
     pa.set_defaults(fn=cmd_analyze)
+
+    pd_ = sub.add_parser("dedup")
+    pd_.add_argument("--corpus", required=True)
+    pd_.add_argument("--output", required=True)
+    pd_.add_argument("--checkpoint", default=None,
+                     help="stage-lineage dir (default <output>/_checkpoint)")
+    pd_.add_argument("--id-col", default="url")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--k", type=int, default=3)
+    pd_.add_argument("--threshold", type=float, default=0.8)
+    pd_.add_argument("--chunks", type=int, default=8)
+    pd_.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -277,8 +277,8 @@ class CheckpointedDedup:
                 release=handles,
             )
             rp.write.mode("overwrite").parquet(f"{self.dir}/rep_pairs")
-            for h in handles:
-                h.unpersist()
+            for fin in handles:
+                fin()
             n = spark.read.parquet(f"{self.dir}/rep_pairs").count()
             self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
             if stop_after == "pairs":

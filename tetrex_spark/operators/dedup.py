@@ -195,35 +195,32 @@ def capped_candidate_pairs(
     of the unbounded sum of bucket-size squares (one pathological bucket of
     10^6 members is 5*10^11 pairs). Over-cap buckets are *whole-bucket*
     drops — a pair can still surface via its other bands — and are NEVER
-    silent: whenever a cap is active, `lsh_bucket_stats` runs on the same
-    bucket table and warn-logs any drop (no-silent-caps rule; pass
-    log_drops=False only when the caller reports the stats itself). With
-    exact-dup pre-collapse upstream (see minhash_lsh_pairs) an over-cap
-    bucket requires > max_bucket *distinct* texts colliding in one band —
-    at the default banding that means a genuine giant near-dup cluster,
-    which the cap converts from a quadratic join into a bounded one.
+    silent: with a cap active, ONE size aggregate over the persisted
+    bucket table computes the over-cap list (tiny by construction,
+    <= n*bands/max_bucket rows), which is collected, warn-logged by
+    default, and re-fed as a literal broadcast anti-join side. (An
+    in-plan DataFrame.observe variant was tried first — zero extra jobs —
+    but observed metrics do not propagate when the subtree executes
+    inside the verify's BroadcastExchange, so the drops would go
+    unreported on exactly the main path.) With exact-dup pre-collapse
+    upstream (see minhash_lsh_pairs) an over-cap bucket requires
+    > max_bucket *distinct* texts colliding in one band — a genuine giant
+    near-dup cluster, which the cap converts from a quadratic join into a
+    bounded one.
 
-    With a cap active the bucket table is persisted (the size/stats pass
-    and both self-join sides read it without recomputing upstream). The
-    cache is released without leaking in one of two ways: a caller that
-    materializes the candidates itself passes `release` (a list the
-    persisted handle is appended to, to unpersist after its own
-    checkpoint — ONE materialization job total); with release=None the
-    bounded candidate list is eagerly localCheckpoint-ed here and the
-    cache dropped before returning."""
+    Cache-release contract: the bucket table is persisted for its plan
+    branches; the unpersist finisher runs either through the caller's
+    `release` list (callables invoked right after the caller materializes
+    its result) or, with release=None, here after an eager
+    localCheckpoint of the (bounded) candidate list."""
     capped = max_bucket is not None
-    ours = capped and not (
-        buckets.storageLevel.useMemory or buckets.storageLevel.useDisk
-    )
-    if ours:
-        buckets = buckets.persist()
-    cached = buckets
+    finishers: list = []
     if capped:
         import logging
 
-        # ONE size aggregate: the over-cap list (tiny by construction,
-        # <= n/max_bucket rows) is collected, logged, and re-fed as a
-        # literal anti-join side — visibility and the cap share the scan
+        if not (buckets.storageLevel.useMemory or buckets.storageLevel.useDisk):
+            buckets = buckets.persist()
+            finishers.append(buckets.unpersist)
         over_rows = (
             buckets.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("bc"))
@@ -254,12 +251,13 @@ def capped_candidate_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    if ours:
+    if finishers:
         if release is not None:
-            release.append(cached)
+            release.extend(finishers)
         else:
             cand = cand.localCheckpoint(eager=True)
-            cached.unpersist()
+            for fin in finishers:
+                fin()
     return cand
 
 
@@ -343,8 +341,8 @@ def minhash_lsh_pairs(
     # blocks across repeated calls (the expansion below reads only
     # docs/reps, never ss)
     rep_pairs = rep_pairs.localCheckpoint(eager=True)
-    for h in handles:
-        h.unpersist()
+    for fin in handles:
+        fin()
     ss.unpersist()
     if not expand_exact_dups:
         return rep_pairs
@@ -611,8 +609,8 @@ def simhash_pairs_from_fingerprints(
         .filter(F.col("hamming") <= max_hamming)
         .localCheckpoint(eager=True)  # tiny: candidate-bounded
     )
-    for h in handles:
-        h.unpersist()
+    for fin in handles:
+        fin()
     if not expand_exact_dups:
         groups.unpersist()
         if own_sh:
