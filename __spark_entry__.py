@@ -505,6 +505,39 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(_docs(spark, sf_dir))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation decision a training pipeline
+    materializes: Gopher quality gate x PII exposure x near-dup keep-list
+    joined per doc into one final keep verdict. Every stage is an
+    already-oracled operator; this entry verifies the COMPOSITION
+    (joins, column flow, verdict arithmetic) against a single composed
+    DuckDB query."""
+    from tetrex_spark.functions.analysis import pii_scrub, repetition_quality
+    from tetrex_spark.operators.clusters import dedup_keep_list
+    from tetrex_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    quality = repetition_quality(docs).select(
+        "id", F.col("keep").alias("q_keep")
+    )
+    pii = pii_scrub(docs).select(
+        "id",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")).alias("n_pii"),
+    )
+    pairs = minhash_lsh_pairs(docs, k=JACCARD_K, threshold=JACCARD_T)
+    dup = dedup_keep_list(docs, pairs).select(
+        "id", F.col("keep").alias("dup_keep")
+    )
+    return (
+        quality.join(pii, "id")
+        .join(dup, "id")
+        .select(
+            "id", "q_keep", "n_pii", "dup_keep",
+            (F.col("q_keep") * F.col("dup_keep")).alias("final_keep"),
+        )
+    )
+
+
 def q_gram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 analog (k-mer -> string debug decode): the observed
     (gram, splitmix64 hash) mapping, value-checked against a pure-SQL
@@ -563,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "gram_decode": q_gram_decode,
+        # composed pipeline decision (quality x PII x near-dup keep)
+        "curation_pipeline": q_curation_pipeline,
         # oracle-checked: the synthetic payload bytes are splitmix64
         # arithmetic, so DuckDB re-derives the fake decode + gray stddev
         "multimodal_features": q_multimodal_features,
@@ -757,6 +792,16 @@ def oracle_sql() -> dict[str, str]:
     # top-k ground truth
     d["ann_topk_ivf"] = d["ann_topk"]
     d["multimodal_features"] = _MULTIMODAL_SQL
+    # composition of three already-oracled stages into one verdict table
+    d["curation_pipeline"] = f"""
+        select q.id, q.keep as q_keep,
+               (p.n_email + p.n_ipv4 + p.n_phone)::int as n_pii,
+               d.keep as dup_keep,
+               (q.keep * d.keep)::int as final_keep
+        from ({_QUALITY_SQL}) q
+        join ({_PII_SQL}) p using (id)
+        join ({_DEDUP_CLUSTERS_SQL}) d using (id)
+    """
     return d
 
 
