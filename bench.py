@@ -108,6 +108,17 @@ def main() -> None:
 
     timed("motif_query_warm8", warm_queries)
 
+    # traversal-only probe: regex -> NFA -> Bloom-matrix walk, pure
+    # driver, NO Spark job — the direct analog of the reference's 0.007 s
+    # prebuilt-index in-process query (README.md:77-109); the warm8 entry
+    # above additionally pays the distributed verify scan per pattern
+    reps_n = 25
+    t0 = time.time()
+    for _ in range(reps_n):
+        for p in warm_patterns:
+            idx.candidate_bins(p)
+    traversal_per_pattern = (time.time() - t0) / (reps_n * len(warm_patterns))
+
     # 3. training-pipeline operators (+ the d-gram-pruned gap motif; its
     # one-time track build lands in run 1, min-of-2 reports steady state)
     for name in [
@@ -158,6 +169,9 @@ def main() -> None:
                     "n_docs": n_docs,
                     "motif_query_warm_sec_per_pattern": round(
                         times["motif_query_warm8"] / len(warm_patterns), 4
+                    ),
+                    "motif_traversal_sec_per_pattern": round(
+                        traversal_per_pattern, 6
                     ),
                 },
                 "rows": rows,
