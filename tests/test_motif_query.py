@@ -165,3 +165,20 @@ def test_salted_build_identical_hits_and_spread(spark, tmp_path, webtext):
     idx2 = MotifIndex.load(spark, path)
     for pattern in WEB_PATTERNS[:4]:
         assert spark_hits(idx2.query(corpus, pattern)) == oracle_hits(pdf, pattern)
+
+
+def test_fused_sizing_alphabet_matches_two_pass(spark):
+    """alphabet_and_sizing (one scan) == the two old pre-passes: same
+    Bloom sizing bound, and an alphabet covering every char the indexed
+    (extracted, normalized) text can contain."""
+    from tetrex_spark.operators.sketch_build import max_bin_cardinality
+    from tetrex_spark.plans.planner import alphabet_and_sizing
+    from tetrex_spark.sources.corpus import with_bin_id
+
+    corpus = webtext_small(spark)
+    binned = with_bin_id(corpus, 16)
+    n_max, alpha = alphabet_and_sizing(binned, 3)
+    assert n_max == max_bin_cardinality(binned, "char_kgram", 3)
+    pdf = corpus.toPandas()
+    norm = corpus_text_series(pdf["text"], pdf["html"])
+    assert set("".join(norm)) <= set(alpha)

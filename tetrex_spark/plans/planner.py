@@ -60,6 +60,49 @@ def corpus_alphabet(corpus: DataFrame) -> str:
     return "".join(sorted(chars))
 
 
+def alphabet_and_sizing(binned: DataFrame, k: int) -> tuple[int, str]:
+    """(max per-bin char-kgram count, corpus alphabet) in ONE aggregation
+    job — the build used to pay two separate full corpus scans for the
+    Bloom-sizing pre-pass (max_bin_cardinality) and the alphabet
+    pre-pass (corpus_alphabet); at 100 TB each pre-pass is a full pass
+    over the text column, so fusing them removes one.
+
+    Shape: per row, project (bin_id, kgram count, distinct chars of the
+    lowered tag-stripped text), posexplode the char array (<= |alphabet|
+    rows per doc), attribute the count to pos==0 only, then ONE
+    groupBy(bin_id) with map-side-combined partials (per-bin sum + char
+    set, both tiny) and a final fold to (max, union). The alphabet is a
+    sound closed set for dot-expansion: it covers every char the indexed
+    (extracted, normalized) text can contain — a superset only ever adds
+    candidate probes, which verify removes."""
+    html_text = (
+        F.regexp_replace(F.decode(F.col("html"), "UTF-8"), "<[^>]*>", " ")
+        if "html" in binned.columns
+        else F.lit(None)
+    )
+    text = F.coalesce(F.col("text"), html_text, F.lit(""))
+    cnt = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    chars = F.array_distinct(F.split(F.lower(text), ""))
+    ex = binned.select(
+        "bin_id", cnt.alias("cnt"), F.posexplode(chars).alias("pos", "c")
+    )
+    row = (
+        ex.groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("pos") == 0, F.col("cnt")).otherwise(0)).alias("n"),
+            F.collect_set("c").alias("cs"),
+        )
+        .agg(
+            F.max("n").alias("mx"),
+            F.array_distinct(F.flatten(F.collect_list("cs"))).alias("alpha"),
+        )
+        .collect()[0]
+    )
+    chars_out = {c for c in (row["alpha"] or []) if c != ""}
+    chars_out = {(" " if c.isspace() else c) for c in chars_out}
+    return int(row["mx"] or 0), "".join(sorted(chars_out))
+
+
 class MotifIndex:
     """Built index handle: manifest + driver-side Bloom matrix (+ the
     optional d-gram matrices from a `track` run)."""
@@ -117,7 +160,9 @@ class MotifIndex:
                 salt_hot_hosts=salted or None, n_salt=n_salt,
             )
         )
-        n_max = max_bin_cardinality(binned, "char_kgram", k)
+        # ONE fused pre-pass for Bloom sizing + the manifest alphabet
+        # (was two separate full corpus scans)
+        n_max, alphabet = alphabet_and_sizing(binned, k)
         m_bits = bloom_m_bits(n_max, fpr)
         spec = SketchSpec(
             MOTIF_SKETCH_NAME,
@@ -127,7 +172,6 @@ class MotifIndex:
             params={"m_bits": m_bits, "n_hashes": n_hashes},
         )
         rows = build_sketches(binned, [spec])
-        alphabet = corpus_alphabet(corpus)
         write_sketch_table(
             rows,
             path,
