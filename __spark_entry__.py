@@ -459,6 +459,19 @@ def q_candidate_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_motif_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/run_multiple_queries done Spark-first: the whole pattern batch
+    shares ONE pruned scan, each pattern applied only to rows of its own
+    candidate bins (MotifIndex.query_many). Oracle: per-pattern
+    regexp_extract_all over the full corpus, unioned — equality holds
+    iff batching loses no matches AND per-pattern bin gating keeps
+    recall 1."""
+    idx = _motif_index(spark, sf_dir)
+    return idx.query_many(
+        _corpus(spark, sf_dir), {p: p for p in CANDIDATE_PATTERNS}
+    ).select(F.col("query_id").alias("pattern"), "url", "match")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic media table -> image features.
     The decode is the documented fake codec (payload bytes -> pixel
@@ -589,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked via exact ground truth + bound verdicts
         "sketch_estimates": q_sketch_estimates,
         "candidate_bins": q_candidate_bins,
+        "motif_multi": q_motif_multi,
         # oracle-checked: DuckDB re-derives the kernel's splitmix64 hash
         # pipelines in pure SQL (HUGEINT mod-2^64 arithmetic) — winnowing
         # gram hashes + window minima for fingerprints; per-token hashes +
@@ -756,6 +770,15 @@ def oracle_sql() -> dict[str, str]:
             select '{p.replace("'", "''")}' as pattern, {_URL} as url
             from documents
             where regexp_matches({_NORM_SQL_DUCK}, '{p}')
+            """
+            for p in CANDIDATE_PATTERNS
+        ),
+        "motif_multi": " union all ".join(
+            f"""
+            select '{p.replace("'", "''")}' as pattern, url,
+                   unnest(regexp_extract_all(norm, '{p}')) as match
+            from (select {_URL} as url, {_NORM_SQL_DUCK} as norm
+                  from documents)
             """
             for p in CANDIDATE_PATTERNS
         ),

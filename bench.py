@@ -107,6 +107,11 @@ def main() -> None:
         return sum(idx.query(corpus, p).count() for p in warm_patterns)
 
     timed("motif_query_warm8", warm_queries)
+    # the batched variant: SAME 8 patterns, ONE pruned scan (query_many)
+    timed(
+        "motif_query_batch8",
+        lambda: idx.query_many(corpus, {p: p for p in warm_patterns}).count(),
+    )
 
     # traversal-only probe: regex -> NFA -> Bloom-matrix walk, pure
     # driver, NO Spark job — the direct analog of the reference's 0.007 s

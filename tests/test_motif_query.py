@@ -182,3 +182,17 @@ def test_fused_sizing_alphabet_matches_two_pass(spark):
     pdf = corpus.toPandas()
     norm = corpus_text_series(pdf["text"], pdf["html"])
     assert set("".join(norm)) <= set(alpha)
+
+
+def test_query_many_equals_sequential(webtext):
+    """Batched multi-pattern query (one pruned scan, per-pattern bin
+    gating) returns exactly the per-pattern sequential hit sets."""
+    corpus, idx, pdf = webtext
+    pats = {f"q{i}": p for i, p in enumerate(WEB_PATTERNS[:5])}
+    got = {}
+    for r in idx.query_many(corpus, pats).collect():
+        got.setdefault(r["query_id"], set()).add(
+            (r["url"], r["match"], r["start"], r["end"])
+        )
+    for qid, p in pats.items():
+        assert got.get(qid, set()) == oracle_hits(pdf, p.lower()), (qid, p)

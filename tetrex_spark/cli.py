@@ -76,14 +76,17 @@ def cmd_query(args) -> int:
         from .plans.rx import prosite_to_posix
 
         patterns = [(qid, prosite_to_posix(m)) for qid, m in patterns]
-    for qid, motif in patterns:
-        hits = idx.query(corpus, motif)
-        if args.output:
-            hits.write.mode("overwrite").parquet(f"{args.output}/{qid}")
-        else:
-            # S7 TSV sink parity: url \t match \t start,end
-            for r in hits.collect():
-                print(f"{r['url']}\t{r['match']}\t{r['start']},{r['end']}")
+    # one batched pruned scan for the whole pattern file (query_many) —
+    # the reference loops queries sequentially (src/query.cpp:342-373)
+    hits = idx.query_many(corpus, dict(patterns))
+    multi = len(patterns) > 1
+    if args.output:
+        hits.write.mode("overwrite").partitionBy("query_id").parquet(args.output)
+    else:
+        # S7 TSV sink parity: [qid \t] url \t match \t start,end
+        for r in hits.collect():
+            qid = f"{r['query_id']}\t" if multi else ""
+            print(f"{qid}{r['url']}\t{r['match']}\t{r['start']},{r['end']}")
     return 0
 
 

@@ -81,6 +81,64 @@ def verify_regex(corpus: DataFrame, pattern: str, id_col: str = "url") -> DataFr
     return out
 
 
+MULTI_MATCH_SCHEMA = T.StructType(
+    [T.StructField("query_id", T.StringType(), False)] + list(MATCH_SCHEMA)
+)
+
+
+def verify_regex_many(
+    corpus: DataFrame,
+    pattern_bins: list[tuple[str, str, list[int] | None]],
+    id_col: str = "url",
+) -> DataFrame:
+    """Batched multi-pattern verify: ONE scan emits (query_id, url,
+    match, start, end) for every pattern, each applied only to rows of
+    its own candidate bins (bins=None -> every row). The Spark-first
+    answer to the reference's run_multiple_queries loop
+    (src/query.cpp:342-373, one sequential full pass per query): N
+    patterns share a single pruned corpus pass, and the per-row work is
+    gated by the same bin bitvectors the single-query path prunes with."""
+    has_html = "html" in corpus.columns
+    has_bin = "bin_id" in corpus.columns
+    cols = [id_col, "text"] + (["html"] if has_html else []) + (
+        ["bin_id"] if has_bin else []
+    )
+    compiled_spec = [
+        (qid, pat, None if bins is None else frozenset(bins))
+        for qid, pat, bins in pattern_bins
+    ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rxs = [
+            (qid, re.compile(pat, re.IGNORECASE), bins)
+            for qid, pat, bins in compiled_spec
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = corpus_text_series(
+                pdf["text"], pdf["html"] if has_html and "html" in pdf else None
+            )
+            bin_ids = pdf["bin_id"].to_numpy() if has_bin else None
+            out = {"query_id": [], "url": [], "match": [], "start": [], "end": []}
+            for i, (url, doc) in enumerate(
+                zip(pdf[id_col].to_numpy(), text.to_numpy())
+            ):
+                b = int(bin_ids[i]) if bin_ids is not None else None
+                for qid, rx, bins in rxs:
+                    if bins is not None and b is not None and b not in bins:
+                        continue
+                    for m in rx.finditer(doc):
+                        out["query_id"].append(qid)
+                        out["url"].append(url)
+                        out["match"].append(m.group(0))
+                        out["start"].append(m.start())
+                        out["end"].append(m.end())
+            yield pd.DataFrame(out).astype({"start": "int64", "end": "int64"})
+
+    return corpus.select(*cols).mapInPandas(fn, MULTI_MATCH_SCHEMA)
+
+
 def verify_conjunctive(corpus: DataFrame, patterns: list[str], id_col: str = "url") -> DataFrame:
     """Docs where ALL patterns match (F11: RE2::Set semantics,
     include/query.h:191-224 — `matching_rules.size() == count`)."""

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalize_query
 from ..operators.sketch_build import SketchSpec, build_sketches, max_bin_cardinality
-from ..operators.verify import prune_to_bins, verify_conjunctive, verify_regex
+from ..operators.verify import (
+    prune_to_bins,
+    verify_conjunctive,
+    verify_regex,
+    verify_regex_many,
+)
 from ..sources.corpus import hot_hosts, with_bin_id
 from ..sources.sketch_store import (
     BloomMatrix,
@@ -253,6 +258,45 @@ class MotifIndex:
         binned = self._binned(corpus, n_bins, bin_key)
         pruned = prune_to_bins(binned, res.bin_ids(), n_bins)
         return verify_regex(pruned, normalize_query(pattern))
+
+    def query_many(
+        self,
+        corpus: DataFrame,
+        patterns: dict[str, str] | list[str],
+        *,
+        n_bins: int | None = None,
+        bin_key=None,
+    ) -> DataFrame:
+        """Batched multi-pattern query — the reference's TSV query-file
+        path (S6, run_multiple_queries src/query.cpp:342-373) done
+        Spark-first: every pattern's candidate bins come from the driver
+        traversal (sub-ms each), the corpus is pruned ONCE to the union
+        of candidate bins, and a single verify pass applies each pattern
+        only to rows of its own bins. N patterns cost one scan instead
+        of N sequential jobs. Returns (query_id, url, match, start,
+        end)."""
+        n_bins = n_bins or self.manifest["n_bins"]
+        if not isinstance(patterns, dict):
+            patterns = {p: p for p in patterns}
+        spec: list[tuple[str, str, list[int] | None]] = []
+        union: set[int] = set()
+        full_scan = False
+        for qid, pat in patterns.items():
+            res = self.candidate_bins(pat)
+            bins = res.bin_ids()
+            if len(bins) >= self.bloom.n_bins:
+                spec.append((qid, normalize_query(pat), None))
+                full_scan = True
+            else:
+                spec.append((qid, normalize_query(pat), bins))
+                union.update(bins)
+        binned = self._binned(corpus, n_bins, bin_key)
+        pruned = (
+            binned
+            if full_scan
+            else prune_to_bins(binned, sorted(union), n_bins)
+        )
+        return verify_regex_many(pruned, spec)
 
     def query_all(
         self,
