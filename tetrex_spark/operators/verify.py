@@ -56,8 +56,17 @@ def _verify_batches(pattern: str, id_col: str, has_html: bool):
             text = corpus_text_series(
                 pdf["text"], pdf["html"] if has_html and "html" in pdf else None
             )
+            # vectorized prefilter: one C-level contains pass over the
+            # batch; the per-doc Python finditer loop (needed for match
+            # offsets) then touches only docs that DO match — in the
+            # pruned-bin scan most rows are Bloom false positives or
+            # bin co-residents, so this skips the Python loop for the
+            # overwhelming majority of rows
+            hit = text.str.contains(rx).to_numpy()
             urls, matches, starts, ends = [], [], [], []
-            for url, doc in zip(pdf[id_col].to_numpy(), text.to_numpy()):
+            for url, doc in zip(
+                pdf[id_col].to_numpy()[hit], text.to_numpy()[hit]
+            ):
                 for m in rx.finditer(doc):
                     urls.append(url)
                     matches.append(m.group(0))
@@ -109,8 +118,11 @@ def verify_regex_many(
     ]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         rxs = [
-            (qid, re.compile(pat, re.IGNORECASE), bins)
+            (qid, re.compile(pat, re.IGNORECASE),
+             None if bins is None else np.fromiter(bins, dtype=np.int64))
             for qid, pat, bins in compiled_spec
         ]
         for pdf in batches:
@@ -119,15 +131,24 @@ def verify_regex_many(
             text = corpus_text_series(
                 pdf["text"], pdf["html"] if has_html and "html" in pdf else None
             )
+            urls = pdf[id_col].to_numpy()
             bin_ids = pdf["bin_id"].to_numpy() if has_bin else None
             out = {"query_id": [], "url": [], "match": [], "start": [], "end": []}
-            for i, (url, doc) in enumerate(
-                zip(pdf[id_col].to_numpy(), text.to_numpy())
-            ):
-                b = int(bin_ids[i]) if bin_ids is not None else None
-                for qid, rx, bins in rxs:
-                    if bins is not None and b is not None and b not in bins:
+            for qid, rx, bins in rxs:
+                # bin gating + vectorized contains prefilter per pattern:
+                # the Python finditer loop touches only (candidate-bin,
+                # actually-matching) rows
+                if bins is not None and bin_ids is not None:
+                    mask = np.isin(bin_ids, bins)
+                    if not mask.any():
                         continue
+                    sub_text, sub_urls = text[mask], urls[mask]
+                else:
+                    sub_text, sub_urls = text, urls
+                hit = sub_text.str.contains(rx).to_numpy()
+                for url, doc in zip(
+                    sub_urls[hit], sub_text.to_numpy()[hit]
+                ):
                     for m in rx.finditer(doc):
                         out["query_id"].append(qid)
                         out["url"].append(url)
