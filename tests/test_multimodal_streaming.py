@@ -215,3 +215,56 @@ def test_connected_components_empty_and_self_pairs(spark):
     # self-loops only -> no clusters
     selfp = spark.createDataFrame([(1, 1), (2, 2)], "id_a long, id_b long")
     assert connected_components(selfp).count() == 0
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """Watermarked streaming exact dedup: duplicates within the watermark
+    window are dropped across micro-batches; output equals the batch
+    exact-dedup keep set on the same rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    epoch = dt.datetime(2021, 1, 1)
+    rows1 = [
+        (0, "alpha beta gamma", epoch),
+        (1, "delta epsilon zeta", epoch + dt.timedelta(minutes=1)),
+        (2, "Alpha  beta gamma", epoch + dt.timedelta(minutes=2)),  # dup of 0
+    ]
+    rows2 = [
+        (3, "delta epsilon zeta", epoch + dt.timedelta(minutes=3)),  # dup of 1
+        (4, "eta theta iota", epoch + dt.timedelta(minutes=4)),
+    ]
+    schema = "doc_id long, text string, warc_ts timestamp"
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["doc_id"] for r in spark.sql("select * from dedup_sink").collect()}
+        # docs 0 and 2 are normalized duplicates: exactly ONE survives
+        # (which one is arbitrary within a micro-batch), plus doc 1
+        assert len(got1) == 2 and 1 in got1 and len(got1 & {0, 2}) == 1
+        spark.createDataFrame(rows2, schema).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got2 = {r["doc_id"] for r in spark.sql("select * from dedup_sink").collect()}
+        # doc 3 duplicates doc 1 from the PREVIOUS micro-batch (dedup
+        # state is carried across batches); doc 4 is new
+        assert got2 == got1 | {4}
+    finally:
+        q.stop()
+
+    # raises on a batch frame
+    import pytest as _pt
+
+    batch = spark.createDataFrame(rows1, schema)
+    with _pt.raises(ValueError):
+        streaming_exact_dedup(batch)
