@@ -316,3 +316,17 @@ def bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
         i = np.arange(n_hashes, dtype=U64)
         pos = (h1[:, None] + i[None, :] * h2[:, None]) % U64(m_bits)
     return pos.astype(np.int64)
+
+
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64/int64 array (byte-LUT fold —
+    numpy 1.x has no bitwise_count). Used by the streaming SimHash gate's
+    in-state hamming checks; matches the JVM bit_count the batch verify
+    uses."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)
+    return _POPCNT8[b].sum(axis=1).astype(np.int64)

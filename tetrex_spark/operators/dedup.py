@@ -551,6 +551,35 @@ def simhash_pairs(
     )
 
 
+def simhash_band_struct(n_blocks: int, max_hamming: int, col: str = "simhash"):
+    """The pigeonhole band-key expression array for a simhash column:
+    one struct (band, bh) per block combination (see
+    simhash_blocking_plan). Shared by the batch pair join and the
+    streaming stateful gate so both block identically."""
+    combos = simhash_blocking_plan(n_blocks, max_hamming)
+    base, rem = divmod(64, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col(col), offs[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                # xxhash64 of the selected block values: exact-match key
+                # for the combination (hash collisions only ADD
+                # candidates; the bit_count verify removes them)
+                F.xxhash64(*[block(i) for i in combo]).alias("bh"),
+            )
+            for bi, combo in enumerate(combos)
+        ]
+    )
+
+
 def simhash_pairs_from_fingerprints(
     sh: DataFrame, max_hamming: int = 3, *, n_blocks: int = 6,
     max_bucket: int | None = 512, expand_exact_dups: bool = True,
@@ -567,34 +596,15 @@ def simhash_pairs_from_fingerprints(
     materialized result is the member-level pair list; at 10^12-doc scale
     use expand_exact_dups=False (rep-level pairs + the dup-groups table)
     as documented on minhash_lsh_pairs."""
-    combos = simhash_blocking_plan(n_blocks, max_hamming)
-    base, rem = divmod(64, n_blocks)
-    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
-    offs = [sum(widths[:i]) for i in range(n_blocks)]
-
-    def block(i: int):
-        return F.shiftrightunsigned(F.col("simhash"), offs[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
-
     own_sh = not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
     if own_sh:
         sh = sh.persist()
     groups = sh.groupBy("simhash").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
     ).persist()
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            # xxhash64 of the selected block values: exact-match key for
-            # the combination (hash collisions only ADD candidates; the
-            # bit_count verify removes them, so recall stays 1.0)
-            F.xxhash64(*[block(i) for i in combo]).alias("bh"),
-        )
-        for bi, combo in enumerate(combos)
-    ]
     buckets = groups.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
+        "id",
+        F.explode(simhash_band_struct(n_blocks, max_hamming)).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     handles: list = []
     cand = capped_candidate_pairs(buckets, max_bucket, release=handles)

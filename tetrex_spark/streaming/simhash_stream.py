@@ -1,0 +1,137 @@
+"""Streaming SimHash near-dup gate — a CUSTOM STATEFUL operator via
+applyInPandasWithState (the one streaming shape foreachBatch cannot
+express): per band-bucket state of previously-seen fingerprints, so a
+newly-arriving document is paired against near-duplicates from EARLIER
+micro-batches without re-scanning the store.
+
+Shape:
+  fingerprint stream (id, simhash)
+    -> explode pigeonhole band keys (simhash_band_struct — the SAME
+       JVM expressions the batch pair join blocks with, so streaming
+       and batch agree on candidate generation)
+    -> groupBy(band, bh).applyInPandasWithState:
+         state = up to `max_per_key` (id, fp) pairs seen in this bucket;
+         each new fingerprint is hamming-checked (vectorized popcount)
+         against the stored ones AND the earlier arrivals of its own
+         batch, emitting (id_a, id_b, hamming) for every hit.
+
+Guarantees and bounds:
+  - recall within state: deterministic pigeonhole — a pair at hamming <=
+    max_hamming shares at least one untouched block combination, so some
+    shared bucket emits it (hash collisions only ADD checks; the popcount
+    verify removes them). Cross-band duplicate emissions are possible
+    (same pair found via two bands) — dedupe downstream if exact-once
+    pairs are needed (the batch path's `distinct` plays that role).
+  - state per key is CAPPED at `max_per_key` fingerprints (oldest kept,
+    overflow arrivals are still checked and emitted but not stored) and
+    optionally expired by a processing-time timeout — both bounds echo
+    the batch path's bucket caps and the watermark bound of
+    streaming_exact_dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import simhash_band_struct
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
+        T.StructField("hamming", T.IntegerType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType()), True),
+        T.StructField("fps", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
+    from ..kernel.hashing import popcount64
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids_list, fps_list = state.get
+            ids = np.asarray(ids_list, dtype=np.int64)
+            fps = np.asarray(fps_list, dtype=np.int64)
+        else:
+            ids = np.zeros(0, dtype=np.int64)
+            fps = np.zeros(0, dtype=np.int64)
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # deterministic in-batch order (matches the batch id_a < id_b
+            # canonical form)
+            pdf = pdf.sort_values("id")
+            for nid, nfp in zip(
+                pdf["id"].to_numpy(np.int64), pdf["simhash"].to_numpy(np.int64)
+            ):
+                if ids.size:
+                    d = popcount64(
+                        np.bitwise_xor(fps.view(np.uint64), np.uint64(nfp))
+                    )
+                    hit = (d <= max_hamming) & (ids != nid)
+                    for oid, dd in zip(ids[hit], d[hit]):
+                        lo, hi = (oid, nid) if oid < nid else (nid, oid)
+                        out["id_a"].append(int(lo))
+                        out["id_b"].append(int(hi))
+                        out["hamming"].append(int(dd))
+                if ids.size < max_per_key:
+                    ids = np.append(ids, nid)
+                    fps = np.append(fps, nfp)
+        state.update((ids.tolist(), fps.tolist()))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out["id_a"]:
+            yield pd.DataFrame(out).astype(
+                {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
+            )
+
+    return fn
+
+
+def streaming_simhash_pairs(
+    sh_stream: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_per_key: int = 512,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over a streaming fingerprint table (id, simhash):
+    emits (id_a, id_b, hamming <= max_hamming) as soon as the second
+    member arrives, including across micro-batches. Compose upstream
+    with operators.dedup.simhash (stateless mapInPandas — streaming-
+    safe) to run from raw text. Pass ttl_ms to expire idle bucket state
+    (processing-time timeout)."""
+    if not sh_stream.isStreaming:
+        raise ValueError("streaming_simhash_pairs expects a streaming DataFrame")
+    buckets = sh_stream.select(
+        "id", "simhash",
+        F.explode(simhash_band_struct(n_blocks, max_hamming)).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    timeout = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+    return buckets.groupBy("band", "bh").applyInPandasWithState(
+        _bucket_fn(max_hamming, max_per_key, ttl_ms),
+        PAIR_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        timeout,
+    )
