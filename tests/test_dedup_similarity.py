@@ -520,3 +520,22 @@ def test_ivf_cell_partitioned_corpus_prunes_files(spark, tmp_path, vectors):
     # and the probe reads only the selected cells' rows
     want = {r["vec_id"] for r in stored.collect() if r["cell"] in (0, 3)}
     assert {r["vec_id"] for r in probed.collect()} == want and want
+
+
+def test_cosine_verify_pairs_drops_stale_ids(spark, vectors):
+    """Candidate pairs whose ids are absent from the corpus are dropped,
+    never scored against a neighboring packed row."""
+    from tetrex_spark.operators.similarity import cosine_verify_pairs
+
+    df, _ = vectors
+    exact = cosine_pairs_exact(df, 0.9)
+    stale = spark.createDataFrame(
+        [(99999, 0), (0, 77777), (123456, 654321)], "id_a long, id_b long"
+    )
+    cand = exact.select("id_a", "id_b").unionByName(stale)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_verify_pairs(df, cand, 0.9, block=16).collect()
+    }
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    assert got == want

@@ -215,3 +215,25 @@ def test_cli_dedup_resumable_keep_list(spark, tmp_path, capsys):
         tuple(r) for r in spark.read.parquet(f"{out_dir}/pairs").collect()
     }
     assert pairs1 == pairs2
+
+
+def test_cli_regex_file_duplicate_qids_not_dropped(spark, tmp_path, capsys):
+    """Repeated query ids in a TSV file must not silently drop earlier
+    lines (they are disambiguated, every line queried)."""
+    from tetrex_spark.cli import main
+    from tetrex_spark.sources.corpus import motif_mini
+
+    corpus_path = str(tmp_path / "corpus3")
+    motif_mini(spark).write.parquet(corpus_path)
+    idx_path = str(tmp_path / "idx3")
+    main(["index", "--corpus", corpus_path, "--output", idx_path, "--bins", "2"])
+    capsys.readouterr()
+    qfile = tmp_path / "dup_queries.tsv"
+    qfile.write_text("q1\tAC+G\nq1\tTTCC\n")
+    rc = main(["query", "--index", idx_path, "--corpus", corpus_path,
+               "--regex-file", str(qfile)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    qids = {l.split("\t")[0] for l in out.splitlines() if "\t" in l}
+    assert qids == {"q1", "q1#2"}
+    assert "accg" in out and "ttcc" in out

@@ -142,3 +142,19 @@ def test_checkpointed_dedup_rep_level_output(spark, dedup_docs, tmp_path):
         minhash_lsh_pairs(dedup_docs, k=3, threshold=0.7, expand_exact_dups=False)
     )
     assert got == want and got
+
+
+def test_checkpointed_dedup_refuses_param_mismatch(spark, dedup_docs, tmp_path):
+    """Resuming a dedup checkpoint with changed parameters must refuse
+    loudly instead of returning stale results."""
+    from tetrex_spark.lineage import CheckpointedDedup
+
+    d = str(tmp_path / "dedup_params")
+    CheckpointedDedup(d, threshold=0.7, n_chunks=4)
+    with pytest.raises(ValueError, match="stale"):
+        CheckpointedDedup(d, threshold=0.9, n_chunks=4)
+    with pytest.raises(ValueError, match="stale"):
+        CheckpointedDedup(d, threshold=0.7, n_chunks=8)
+    # same params or a new build_id are fine
+    CheckpointedDedup(d, threshold=0.7, n_chunks=4)
+    CheckpointedDedup(d, threshold=0.9, n_chunks=4, build_id="dedup-1")

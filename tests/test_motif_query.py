@@ -196,3 +196,17 @@ def test_query_many_equals_sequential(webtext):
         )
     for qid, p in pats.items():
         assert got.get(qid, set()) == oracle_hits(pdf, p.lower()), (qid, p)
+
+
+def test_salt_refused_on_prebinned_corpus(spark, tmp_path):
+    """Recording a salt that was never applied to a pre-binned corpus
+    would silently re-bin hot hosts at query time (false negatives) —
+    build must refuse instead."""
+    from tetrex_spark.sources.corpus import with_bin_id
+
+    corpus = with_bin_id(webtext_small(spark), 16)
+    with pytest.raises(ValueError, match="salt_hot_hosts"):
+        MotifIndex.build(
+            corpus, str(tmp_path / "idx"), n_bins=16, k=3,
+            salt_hot_hosts="auto",
+        )

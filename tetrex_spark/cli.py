@@ -77,8 +77,16 @@ def cmd_query(args) -> int:
 
         patterns = [(qid, prosite_to_posix(m)) for qid, m in patterns]
     # one batched pruned scan for the whole pattern file (query_many) —
-    # the reference loops queries sequentially (src/query.cpp:342-373)
-    hits = idx.query_many(corpus, dict(patterns))
+    # the reference loops queries sequentially (src/query.cpp:342-373).
+    # Repeated query ids in the file are disambiguated (q1, q1#2, ...)
+    # instead of silently dropping earlier lines
+    seen: dict[str, int] = {}
+    uniq: dict[str, str] = {}
+    for qid, motif in patterns:
+        n = seen.get(qid, 0)
+        seen[qid] = n + 1
+        uniq[qid if n == 0 else f"{qid}#{n + 1}"] = motif
+    hits = idx.query_many(corpus, uniq)
     multi = len(patterns) > 1
     if args.output:
         hits.write.mode("overwrite").partitionBy("query_id").parquet(args.output)

@@ -195,6 +195,28 @@ class CheckpointedDedup:
         self.threshold, self.max_bucket = threshold, max_bucket
         self.n_chunks, self.build_id = n_chunks, build_id
         os.makedirs(f"{self.dir}/sigsets", exist_ok=True)
+        # committed stages are only valid under the parameters that
+        # produced them — resuming with a changed threshold/banding/chunk
+        # grain against old artifacts would silently return stale or
+        # incomplete pairs, so the parameter fingerprint is pinned per
+        # build_id and mismatches refuse loudly
+        params = {
+            "k": k, "num_perm": num_perm, "bands": bands,
+            "threshold": threshold, "max_bucket": max_bucket,
+            "n_chunks": n_chunks,
+        }
+        ppath = f"{self.dir}/params_{build_id}.json"
+        if os.path.exists(ppath):
+            stored = json.loads(open(ppath).read())
+            if stored != params:
+                raise ValueError(
+                    f"checkpoint {self.dir} (build_id={build_id}) was "
+                    f"created with {stored}; resuming with {params} would "
+                    "return stale results — use a new build_id or dir"
+                )
+        else:
+            with open(ppath, "w") as f:
+                f.write(json.dumps(params, sort_keys=True))
 
     def _lineage_path(self) -> str:
         return f"{self.dir}/{LINEAGE_FILE}"

@@ -538,12 +538,17 @@ def simhash_pairs(
     are hamming 0).
 
     n_blocks=None picks the blocking width adaptively: 4 (4 bands x
-    16-bit keys — ample for <= 2^16-ish buckets worth of reps, 5x fewer
-    bucket rows) below 1e6 docs, 6 (20 bands x >=31-bit keys) above.
-    Recall is exactly 1.0 at every width (deterministic pigeonhole), so
-    the knob trades constant-factor cost against bucket capacity only."""
+    16-bit keys, 5x fewer bucket rows) below 2e5 docs, 6 (20 bands x
+    >=31-bit keys) above. Pigeonhole recall is exactly 1.0 at every
+    width ABSENT cap drops; narrow 16-bit keys make over-cap buckets
+    likelier on bias-concentrated fingerprints, which is why the cutoff
+    sits well under the 65536-buckets-per-band capacity — and any drop
+    that does happen is warn-logged by capped_candidate_pairs, never
+    silent. The doc-count probe is bounded (limit cutoff+1), not a full
+    count."""
     if n_blocks is None:
-        n_blocks = 4 if df.count() <= 1_000_000 else 6
+        cutoff = 200_000
+        n_blocks = 4 if df.limit(cutoff + 1).count() <= cutoff else 6
     return simhash_pairs_from_fingerprints(
         simhash(df, text_col, id_col), max_hamming,
         n_blocks=n_blocks, max_bucket=max_bucket,
@@ -588,14 +593,14 @@ def simhash_pairs_from_fingerprints(
     fingerprints are stored (they are 8 bytes/doc; recomputing them is the
     expensive part) and for property-testing the blocking directly.
 
-    The fingerprint table and the collapsed rep table are persisted for
-    the duration of the call (each feeds several join branches that would
-    otherwise recompute the upstream kernel pass), and the result is
-    materialized (localCheckpoint) before both caches are released — no
-    storage leak across repeated calls. With expand_exact_dups=True the
-    materialized result is the member-level pair list; at 10^12-doc scale
-    use expand_exact_dups=False (rep-level pairs + the dup-groups table)
-    as documented on minhash_lsh_pairs."""
+    The fingerprint table and the collapsed rep table are persisted only
+    while the (tiny, candidate-bounded) rep-level pairs are computed and
+    checkpointed, then released — no storage leak across repeated calls.
+    The member-level expansion stays LAZY (it can be quadratic for giant
+    dup clusters — never eagerly materialized here) and recomputes
+    sh/groups at consumption; at 10^12-doc scale use
+    expand_exact_dups=False (rep-level pairs + the dup-groups table) as
+    documented on minhash_lsh_pairs."""
     own_sh = not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
     if own_sh:
         sh = sh.persist()
@@ -621,10 +626,14 @@ def simhash_pairs_from_fingerprints(
     )
     for fin in handles:
         fin()
+    # release the caches NOW: rep_pairs is checkpointed, and the lazy
+    # expansion below recomputes sh/groups at consumption instead of
+    # eagerly materializing the (potentially quadratic) member-level
+    # pair list — the same shape as minhash_lsh_pairs
+    groups.unpersist()
+    if own_sh:
+        sh.unpersist()
     if not expand_exact_dups:
-        groups.unpersist()
-        if own_sh:
-            sh.unpersist()
         return rep_pairs
     members = sh.select(F.col("simhash").alias("grp"), "id")
     rg = groups.select(F.col("id").alias("rid"), F.col("simhash").alias("rgrp"))
@@ -662,8 +671,4 @@ def simhash_pairs_from_fingerprints(
             F.lit(0).alias("hamming"),
         )
     )
-    out = cross.unionByName(intra).localCheckpoint(eager=True)
-    groups.unpersist()
-    if own_sh:
-        sh.unpersist()
-    return out
+    return cross.unionByName(intra)

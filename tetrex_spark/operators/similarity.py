@@ -507,8 +507,13 @@ def cosine_verify_pairs(
                 B = np.frombuffer(r.mat_b, np.float64).reshape(len(ids_b), -1)
                 ia = np.asarray(r.ias, dtype=np.int64)
                 ib = np.asarray(r.ibs, dtype=np.int64)
-                ra = np.searchsorted(ids_a, ia)  # packed ids are sorted
-                rb = np.searchsorted(ids_b, ib)
+                # packed ids are sorted; candidates whose id is absent
+                # from df (stale pair list) are DROPPED, not scored
+                # against a neighboring row
+                ra = np.minimum(np.searchsorted(ids_a, ia), len(ids_a) - 1)
+                rb = np.minimum(np.searchsorted(ids_b, ib), len(ids_b) - 1)
+                present = (ids_a[ra] == ia) & (ids_b[rb] == ib)
+                ia, ib, ra, rb = ia[present], ib[present], ra[present], rb[present]
                 cos = np.einsum("ij,ij->i", A[ra], B[rb])
                 keep = cos >= threshold
                 yield pd.DataFrame(
@@ -551,7 +556,11 @@ def hyperplane_lsh_pairs(
     Buckets are size-capped like the MinHash path (whole-bucket drops,
     counted and logged by default — see dedup.capped_candidate_pairs).
     Candidate scoring runs through the packed-block BLAS machinery
-    (cosine_verify_pairs), not per-candidate interpreted zip_with dots."""
+    (cosine_verify_pairs), not per-candidate interpreted zip_with dots.
+    Note: the candidate list is materialized (bounded by the bucket
+    caps) before verification; in the moderate-threshold regime where
+    blocking cannot prune, candidates approach all-pairs — use
+    cosine_pairs_blocked there, which streams block pairs instead."""
     buckets = lsh_buckets(
         df, dim=dim, n_planes=n_planes, n_bands=n_bands,
         vec_col=vec_col, id_col=id_col, seed=seed,

@@ -153,18 +153,29 @@ class MotifIndex:
         A corpus that already carries bin_id (e.g. pre-salted via
         with_bin_id(salt_hot_hosts=...)) keeps its assignment — query()
         honors the same rule, so build and prune always agree."""
-        if salt_hot_hosts == "auto":
-            salted = hot_hosts(corpus, n_bins, factor=hot_factor)
+        if "bin_id" in corpus.columns:
+            # the pre-assigned bin ids ARE the index layout; recording a
+            # salt we never applied would make query() re-bin hot hosts
+            # differently from the bins their kgrams were indexed under
+            # (silent false negatives)
+            if salt_hot_hosts:
+                raise ValueError(
+                    "salt_hot_hosts requires build() to assign bin_id "
+                    "itself; either drop the corpus's bin_id column or "
+                    "pre-salt via with_bin_id(salt_hot_hosts=...) and "
+                    "query with the same pre-binned corpus"
+                )
+            salted: list[str] = []
+            binned = corpus
         else:
-            salted = sorted(salt_hot_hosts) if salt_hot_hosts else []
-        binned = (
-            corpus
-            if "bin_id" in corpus.columns
-            else with_bin_id(
+            if salt_hot_hosts == "auto":
+                salted = hot_hosts(corpus, n_bins, factor=hot_factor)
+            else:
+                salted = sorted(salt_hot_hosts) if salt_hot_hosts else []
+            binned = with_bin_id(
                 corpus, n_bins, bin_key=bin_key,
                 salt_hot_hosts=salted or None, n_salt=n_salt,
             )
-        )
         # ONE fused pre-pass for Bloom sizing + the manifest alphabet
         # (was two separate full corpus scans)
         n_max, alphabet = alphabet_and_sizing(binned, k)
