@@ -601,9 +601,14 @@ def simhash_pairs_from_fingerprints(
     sh/groups at consumption; at 10^12-doc scale use
     expand_exact_dups=False (rep-level pairs + the dup-groups table) as
     documented on minhash_lsh_pairs."""
-    own_sh = not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
-    if own_sh:
-        sh = sh.persist()
+    # materialize the fingerprint table ONCE (localCheckpoint — linear,
+    # ~16 B/doc, nothing like the quadratic member-pair list): five plan
+    # branches (buckets, both verify sides, rep->group map, eligibility,
+    # member expansion) all read it without ever re-running the simhash
+    # kernel pass; the checkpoint blocks are freed when the returned
+    # frame is garbage-collected
+    if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
+        sh = sh.localCheckpoint(eager=True)
     groups = sh.groupBy("simhash").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
     ).persist()
@@ -626,13 +631,12 @@ def simhash_pairs_from_fingerprints(
     )
     for fin in handles:
         fin()
-    # release the caches NOW: rep_pairs is checkpointed, and the lazy
-    # expansion below recomputes sh/groups at consumption instead of
-    # eagerly materializing the (potentially quadratic) member-level
-    # pair list — the same shape as minhash_lsh_pairs
+    # rep_pairs is checkpointed; the remaining consumers (expansion's
+    # rep->group map + eligibility) are cheap shuffles over the
+    # checkpointed fingerprint table, so the groups cache can go NOW.
+    # The member-level expansion stays LAZY — never eagerly
+    # materialized (it can be quadratic for giant dup clusters)
     groups.unpersist()
-    if own_sh:
-        sh.unpersist()
     if not expand_exact_dups:
         return rep_pairs
     members = sh.select(F.col("simhash").alias("grp"), "id")
