@@ -593,14 +593,15 @@ def simhash_pairs_from_fingerprints(
     fingerprints are stored (they are 8 bytes/doc; recomputing them is the
     expensive part) and for property-testing the blocking directly.
 
-    The fingerprint table and the collapsed rep table are persisted only
-    while the (tiny, candidate-bounded) rep-level pairs are computed and
-    checkpointed, then released — no storage leak across repeated calls.
-    The member-level expansion stays LAZY (it can be quadratic for giant
-    dup clusters — never eagerly materialized here) and recomputes
-    sh/groups at consumption; at 10^12-doc scale use
-    expand_exact_dups=False (rep-level pairs + the dup-groups table) as
-    documented on minhash_lsh_pairs."""
+    The fingerprint table is checkpointed once (linear, ~16 B/doc); the
+    collapsed rep table is cached only while the (tiny,
+    candidate-bounded) rep-level pairs are computed and checkpointed,
+    then released — no storage leak across repeated calls. The
+    member-level expansion stays LAZY (it can be quadratic for giant dup
+    clusters — never eagerly materialized here) and re-derives its small
+    group frames from the checkpointed fingerprints at consumption; at
+    10^12-doc scale use expand_exact_dups=False (rep-level pairs + the
+    dup-groups table) as documented on minhash_lsh_pairs."""
     # materialize the fingerprint table ONCE (localCheckpoint — linear,
     # ~16 B/doc, nothing like the quadratic member-pair list): five plan
     # branches (buckets, both verify sides, rep->group map, eligibility,
