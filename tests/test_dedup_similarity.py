@@ -539,3 +539,28 @@ def test_cosine_verify_pairs_drops_stale_ids(spark, vectors):
     }
     want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
     assert got == want
+
+
+def test_pair_operators_deterministic_across_parallelism(docs):
+    """SURVEY §7 hard-point 4: identical results at any parallelism —
+    the near-dup pair sets must not depend on partitioning."""
+    from tetrex_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    want_mh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs.repartition(2), k=3, threshold=0.7).collect()
+    }
+    want_sh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs.repartition(2), max_hamming=3).collect()
+    }
+    got_mh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs.repartition(13), k=3, threshold=0.7).collect()
+    }
+    got_sh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs.repartition(13), max_hamming=3).collect()
+    }
+    assert want_mh == got_mh and want_mh
+    assert want_sh == got_sh and want_sh
