@@ -210,3 +210,23 @@ def test_salt_refused_on_prebinned_corpus(spark, tmp_path):
             corpus, str(tmp_path / "idx"), n_bins=16, k=3,
             salt_hot_hosts="auto",
         )
+
+
+def test_query_many_is_single_scan(webtext):
+    """The batched plan reads the corpus ONCE: exactly one scan node for
+    N patterns (the whole point vs N sequential query() jobs)."""
+    import contextlib
+    import io
+
+    corpus, idx, pdf = webtext
+    out = idx.query_many(corpus, {p: p for p in WEB_PATTERNS[:4]})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+
+    # the formatted plan prints each node in the tree AND the detail
+    # section; count unique "(N) Scan" detail headers
+    scans = _re.findall(r"^\(\d+\) Scan", plan, flags=_re.M)
+    assert len(scans) == 1, plan
