@@ -230,3 +230,18 @@ def test_query_many_is_single_scan(webtext):
     # section; count unique "(N) Scan" detail headers
     scans = _re.findall(r"^\(\d+\) Scan", plan, flags=_re.M)
     assert len(scans) == 1, plan
+
+
+def test_salted_index_gap_query_consistent(spark, tmp_path, webtext):
+    """track() on a salted index bins d-grams with the manifest's salted
+    assignment — gap queries prune the same bins the grams were indexed
+    under (hit sets equal the full-scan oracle)."""
+    corpus, _, pdf = webtext
+    path = str(tmp_path / "idx_salted_gap")
+    idx = MotifIndex.build(
+        corpus, path, n_bins=16, k=3, salt_hot_hosts="auto", hot_factor=2.0
+    )
+    assert idx.manifest["salted_hosts"]
+    idx = idx.track(corpus, path, min_gap=0, max_gap=6)
+    pattern = "data .{0,5}stream"
+    assert spark_hits(idx.query(corpus, pattern)) == oracle_hits(pdf, pattern)

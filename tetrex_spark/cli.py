@@ -131,21 +131,26 @@ def cmd_track(args) -> int:
     # default --bins to the existing index manifest's n_bins: a different
     # modulus would bucket d-grams into the wrong bin vectors (silent
     # recall loss); build_dgram_index raises on an explicit mismatch
+    import os
+
     n_bins = args.bins
-    if n_bins is None:
-        import os
+    if os.path.exists(f"{args.output}/manifest.json"):
+        # an existing motif index: route through MotifIndex.track so the
+        # manifest's (possibly hot-host-salted) bin assignment applies —
+        # binning the d-grams with a different assignment would prune
+        # wrong bins at gap-query time (silent recall loss)
+        from .plans.planner import MotifIndex
 
-        from .sources.sketch_store import read_manifest
-
-        n_bins = (
-            read_manifest(args.output)["n_bins"]
-            if os.path.exists(f"{args.output}/manifest.json")
-            else 64
+        idx = MotifIndex.load(spark, args.output)
+        n_bins = idx.manifest["n_bins"]
+        idx.track(corpus, args.output,
+                  min_gap=args.min_gap, max_gap=args.max_gap, fpr=args.fpr)
+    else:
+        build_dgram_index(
+            corpus, args.output, n_bins=n_bins or 64,
+            min_gap=args.min_gap, max_gap=args.max_gap, fpr=args.fpr,
         )
-    build_dgram_index(
-        corpus, args.output, n_bins=n_bins,
-        min_gap=args.min_gap, max_gap=args.max_gap, fpr=args.fpr,
-    )
+        n_bins = n_bins or 64
     print(f"Tracked d-grams (gap {args.min_gap}..{args.max_gap}) "
           f"across {n_bins} bins.")
     return 0

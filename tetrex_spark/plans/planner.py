@@ -224,7 +224,7 @@ class MotifIndex:
         )
 
     def track(self, corpus: DataFrame, path: str, *, min_gap: int = 1,
-              max_gap: int = 21, bin_key=None) -> "MotifIndex":
+              max_gap: int = 21, fpr: float = 0.05, bin_key=None) -> "MotifIndex":
         """`tetrex track` analog: add the gapped-gram sketch family to
         this index and reload (src/dGramIndex.cpp:20-38). The corpus is
         binned with the manifest's (possibly salted) assignment before the
@@ -234,7 +234,7 @@ class MotifIndex:
         build_dgram_index(
             self._binned(corpus, self.manifest["n_bins"], bin_key), path,
             n_bins=self.manifest["n_bins"],
-            min_gap=min_gap, max_gap=max_gap, bin_key=bin_key,
+            min_gap=min_gap, max_gap=max_gap, fpr=fpr, bin_key=bin_key,
         )
         return MotifIndex.load(corpus.sparkSession, path)
 
