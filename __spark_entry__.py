@@ -31,6 +31,16 @@ JACCARD_T = 0.8
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
 COS_T = 0.4
+# planted near-dup twins for the HIGH-threshold (hyperplane-LSH) path: the
+# raw fixture has no pairs above cosine ~0.6, so every HP_TWIN_MOD-th vector
+# is re-emitted as (vec_id + HP_TWIN_OFFSET, embedding + eps*ones) — a
+# deterministic augmentation DuckDB re-derives exactly (list_transform);
+# cos(v, v + eps*1) >= 0.9967 on this corpus vs a 0.60 background ceiling,
+# so the >= 0.9 decision has a ~0.4 margin on both engines
+HP_T = 0.9
+HP_TWIN_MOD = 16
+HP_TWIN_OFFSET = 100_000_000
+HP_TWIN_EPS = 0.01
 
 _NORM_SQL_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -55,6 +65,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-dup twins (see HP_* constants): the
+    deterministic high-cosine fixture for the hyperplane-LSH path, derived
+    identically by the DuckDB oracle via list_transform."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % HP_TWIN_MOD == 0).select(
+        (F.col("vec_id") + F.lit(HP_TWIN_OFFSET)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(HP_TWIN_EPS)).alias(
+            "embedding"
+        ),
+    )
+    return emb.unionByName(twins)
 
 
 def _motif_index(spark: SparkSession, sf_dir: str):
@@ -311,6 +337,22 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = cosine_pairs_blocked(emb, COS_T).select("id_a", "id_b")
     return dedup_keep_list(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
+def q_hyperplane_pairs_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold (0.9) embedding near-dup via random-hyperplane LSH
+    blocking + packed-BLAS exact verify — the true near-dup regime where
+    blocking prunes (the flagship embedding_near_dup entry covers the
+    moderate-threshold block-exact regime). Runs over the twin-augmented
+    corpus (_emb_augmented) because the raw fixture has no pairs above
+    cosine ~0.6; the oracle re-derives the same augmentation and scores
+    all pairs exactly with list_cosine_similarity."""
+    from tetrex_spark.operators.similarity import hyperplane_lsh_pairs
+
+    aug = _emb_augmented(spark, sf_dir)
+    return hyperplane_lsh_pairs(aug, dim=64, threshold=HP_T).select(
+        "id_a", "id_b"
+    )
 
 
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_clusters": q_embedding_clusters,
+        "hyperplane_pairs_t90": q_hyperplane_pairs_t90,
         # oracle-checked via exact ground truth + bound verdicts
         "sketch_estimates": q_sketch_estimates,
         "candidate_bins": q_candidate_bins,
@@ -629,6 +672,24 @@ _EMB_PAIRS_SQL = f"""
     from embeddings a join embeddings b on a.vec_id < b.vec_id
     where list_cosine_similarity(a.embedding::double[], b.embedding::double[])
           >= {COS_T}
+"""
+
+# hyperplane_pairs_t90 oracle: the SAME deterministic twin augmentation as
+# _emb_augmented (float->double widening then +eps is identical IEEE
+# arithmetic on both engines), scored exactly — planted pairs sit at cosine
+# >= 0.9967 vs a 0.60 background ceiling, so the >= 0.9 decision is
+# engine-robust even though each engine sums the dot in its own order.
+_HP_PAIRS_SQL = f"""
+    with aug as (
+      select vec_id, embedding::double[] as e from embeddings
+      union all
+      select vec_id + {HP_TWIN_OFFSET},
+             list_transform(embedding::double[], x -> x + {HP_TWIN_EPS})
+      from embeddings where vec_id % {HP_TWIN_MOD} = 0
+    )
+    select a.vec_id as id_a, b.vec_id as id_b
+    from aug a join aug b on a.vec_id < b.vec_id
+    where list_cosine_similarity(a.e, b.e) >= {HP_T}
 """
 
 # embedding_clusters oracle: transitive closure of the exact cosine pair
@@ -765,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMB_PAIRS_SQL,
         "embedding_near_dup_exact": _EMB_PAIRS_SQL,
         "embedding_clusters": _EMB_CLUSTERS_SQL,
+        "hyperplane_pairs_t90": _HP_PAIRS_SQL,
         "candidate_bins": " union all ".join(
             f"""
             select '{p.replace("'", "''")}' as pattern, {_URL} as url

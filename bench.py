@@ -149,14 +149,13 @@ def main() -> None:
     # high-threshold embedding near-dup: the hyperplane-LSH path with the
     # packed-BLAS candidate verify (the true near-dup regime where
     # blocking prunes; the flagship entry covers the moderate-threshold
-    # block-exact regime)
-    from tetrex_spark.operators.similarity import hyperplane_lsh_pairs
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").head()["embedding"])
+    # block-exact regime). Runs over the twin-augmented corpus
+    # (entrymod._emb_augmented — the raw fixture has no pairs above cosine
+    # ~0.6) so the verify path is exercised with real survivors; the same
+    # input is DuckDB-oracled as the hyperplane_pairs_t90 CORRECTNESS entry.
     timed(
         "hyperplane_lsh_pairs_t90",
-        lambda: hyperplane_lsh_pairs(emb, dim=dim, threshold=0.9).count(),
+        lambda: entrymod.queries()["hyperplane_pairs_t90"](spark, sf_dir).count(),
     )
 
     total = round(sum(times.values()), 3)

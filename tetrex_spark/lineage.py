@@ -308,4 +308,7 @@ class CheckpointedDedup:
         rep_pairs = spark.read.parquet(f"{self.dir}/rep_pairs")
         if not expand_exact_dups:
             return rep_pairs
-        return expand_rep_pairs(docs, reps, rep_pairs, self.k)
+        # eligibility comes straight from the STORED sigset chunks (the
+        # rows there are exactly the shingle-eligible reps) — no text
+        # re-derivation on resume
+        return expand_rep_pairs(docs, rep_pairs, ss.select("id"))

@@ -221,25 +221,48 @@ def capped_candidate_pairs(
         if not (buckets.storageLevel.useMemory or buckets.storageLevel.useDisk):
             buckets = buckets.persist()
             finishers.append(buckets.unpersist)
-        over_rows = (
+        # The over-cap bucket list stays a DISTRIBUTED DataFrame end to end
+        # (an earlier revision collected it to the driver to warn-log and
+        # re-ship as a literal — O(n*bands/max_bucket) rows, a driver-memory
+        # hazard on a pathological corpus at 1e10+ reps). The anti-join is
+        # UNCONDITIONAL — with no over-cap buckets it is an anti-join
+        # against an empty broadcast, a no-op — so no eager aggregate job
+        # has to run before the candidate plan exists; the warn-log scalars
+        # are read from the cached over-cap frame in a finisher AFTER the
+        # caller materializes the pair plan (which is what populates the
+        # cache), costing one tiny cached-aggregate job instead of a full
+        # upstream execution. Hinted, not forced, broadcast: Spark may fall
+        # back to a shuffled anti-join if the over list is ever large.
+        over = (
             buckets.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("bc"))
             .filter(F.col("bc") > max_bucket)
-            .collect()
+            .persist()
         )
-        if over_rows:
-            if log_drops:
-                logging.getLogger(__name__).warning(
-                    "LSH bucket cap %d drops %d buckets (%d member rows; "
-                    "largest %d); pairs in them surface only via other bands",
-                    max_bucket, len(over_rows),
-                    sum(r["bc"] for r in over_rows),
-                    max(r["bc"] for r in over_rows),
-                )
-            over = buckets.sparkSession.createDataFrame(
-                [(r["band"], r["bh"]) for r in over_rows], "band int, bh long"
-            )
-            buckets = buckets.join(F.broadcast(over), ["band", "bh"], "left_anti")
+        buckets = buckets.join(
+            over.select("band", "bh").hint("broadcast"),
+            ["band", "bh"],
+            "left_anti",
+        )
+
+        def _log_and_release(_over=over, _cap=max_bucket, _log=log_drops):
+            if _log:
+                stats = _over.agg(
+                    F.count(F.lit(1)).alias("n_over"),
+                    F.sum("bc").alias("rows_over"),
+                    F.max("bc").alias("max_bc"),
+                ).collect()[0]
+                if stats["n_over"]:
+                    logging.getLogger(__name__).warning(
+                        "LSH bucket cap %d drops %d buckets (%d member rows;"
+                        " largest %d); pairs in them surface only via other"
+                        " bands",
+                        _cap, int(stats["n_over"]), int(stats["rows_over"]),
+                        int(stats["max_bc"]),
+                    )
+            _over.unpersist()
+
+        finishers.append(_log_and_release)
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
         x.join(
@@ -338,16 +361,20 @@ def minhash_lsh_pairs(
     )
     # rep pairs are tiny (candidate-bounded); materialize them so every
     # intermediate cache can be released NOW instead of leaking cached
-    # blocks across repeated calls (the expansion below reads only
-    # docs/reps, never ss)
+    # blocks across repeated calls. The shingle-eligible rep ids (one
+    # int per rep with >= k tokens — exactly the rows ss holds) are
+    # checkpointed from the still-cached ss in the same breath, so the
+    # expansion never re-derives eligibility from text
     rep_pairs = rep_pairs.localCheckpoint(eager=True)
+    elig_ids = ss.select("id").localCheckpoint(eager=True)
     for fin in handles:
         fin()
     ss.unpersist()
     if not expand_exact_dups:
         return rep_pairs
-    # 5. expand representative pairs to member pairs
-    return expand_rep_pairs(docs, reps, rep_pairs, k)
+    # 5. expand representative pairs to member pairs (integer shuffles
+    # only — see expand_rep_pairs)
+    return expand_rep_pairs(docs, rep_pairs, elig_ids)
 
 
 def dup_groups(
@@ -400,18 +427,34 @@ def verify_rep_pairs(
 
 
 def expand_rep_pairs(
-    docs: DataFrame, reps: DataFrame, rep_pairs: DataFrame, k: int
+    docs: DataFrame, rep_pairs: DataFrame, elig_ids: DataFrame
 ) -> DataFrame:
     """Expand verified representative pairs to member pairs: cross-group
     pairs inherit the representatives' jaccard (identical normalized text
     => identical shingle set); intra-group pairs are exact duplicates
-    (jaccard 1.0)."""
+    (jaccard 1.0).
+
+    Text is NEVER re-shuffled here: every frame derives from
+    docs.select(grp, id) — the md5 is recomputed map-side, but the
+    rep-id/group-size table comes from an integer groupBy over (grp, id),
+    not a second full-text reps aggregation (which an earlier revision
+    re-ran three times — the dominant shuffle of the expansion at any
+    scale). `elig_ids` is the (id) frame of representatives that produced
+    a shingle set (i.e. have a sig row — normalized text has >= k
+    tokens): docs without shingles have no jaccard to anything, matching
+    the exact oracle; callers pass the (tiny, checkpointed) id column of
+    the sig/set table rather than re-deriving the predicate from text."""
     members = docs.select("grp", "id")
-    rg = reps.select(F.col("id").alias("rid"), F.col("grp").alias("rgrp"))
+    # (grp, rid, csize) from integers only — min(id) is the same rep
+    # dup_groups elects, csize the same member count
+    rg = members.groupBy("grp").agg(
+        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
+    )
+    grp_of = rg.select("rid", F.col("grp").alias("rgrp"))
     pairs_g = (
         F.broadcast(rep_pairs)
-        .join(rg.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
-        .join(rg.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
+        .join(grp_of.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
+        .join(grp_of.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
         .select("grp_a", "grp_b", "jaccard")
     )
     cross = (
@@ -427,16 +470,10 @@ def expand_rep_pairs(
             "jaccard",
         )
     )
-    # intra-group pairs: exact duplicates (jaccard 1.0); only groups whose
-    # representative produced a shingle set (>= k tokens) — docs without
-    # shingles have no jaccard to anything, matching the exact oracle.
-    # "has a sig row" == "normalized text has >= k tokens", re-expressed
-    # as a JVM predicate so this branch never re-reads the (possibly
-    # already released) sig/set table
-    elig = reps.filter(
-        (F.col("csize") > 1)
-        & (F.length(norm_col("txt")) > 0)
-        & (F.size(tokens_col("txt")) >= k)
+    # intra-group pairs: exact duplicates (jaccard 1.0) within groups of
+    # size > 1 whose representative is shingle-eligible
+    elig = rg.filter(F.col("csize") > 1).join(
+        elig_ids.select(F.col(elig_ids.columns[0]).alias("rid")), "rid"
     ).select("grp")
     mi = members.join(elig, "grp")
     xi, yi = mi.alias("xi"), mi.alias("yi")
@@ -544,11 +581,9 @@ def simhash_pairs(
     likelier on bias-concentrated fingerprints, which is why the cutoff
     sits well under the 65536-buckets-per-band capacity — and any drop
     that does happen is warn-logged by capped_candidate_pairs, never
-    silent. The doc-count probe is bounded (limit cutoff+1), not a full
-    count."""
-    if n_blocks is None:
-        cutoff = 200_000
-        n_blocks = 4 if df.limit(cutoff + 1).count() <= cutoff else 6
+    silent. The count probe runs on the checkpointed 16-byte/doc
+    fingerprint table inside simhash_pairs_from_fingerprints, never as a
+    separate scan of the raw text."""
     return simhash_pairs_from_fingerprints(
         simhash(df, text_col, id_col), max_hamming,
         n_blocks=n_blocks, max_bucket=max_bucket,
@@ -586,7 +621,7 @@ def simhash_band_struct(n_blocks: int, max_hamming: int, col: str = "simhash"):
 
 
 def simhash_pairs_from_fingerprints(
-    sh: DataFrame, max_hamming: int = 3, *, n_blocks: int = 6,
+    sh: DataFrame, max_hamming: int = 3, *, n_blocks: int | None = 6,
     max_bucket: int | None = 512, expand_exact_dups: bool = True,
 ) -> DataFrame:
     """simhash_pairs over a precomputed (id, simhash) table — useful when
@@ -610,6 +645,10 @@ def simhash_pairs_from_fingerprints(
     # frame is garbage-collected
     if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
         sh = sh.localCheckpoint(eager=True)
+    if n_blocks is None:
+        # adaptive width (see simhash_pairs): counting the checkpointed
+        # 16-byte/doc fingerprint table is a cache scan, not a text scan
+        n_blocks = 4 if sh.count() <= 200_000 else 6
     groups = sh.groupBy("simhash").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
     ).persist()
