@@ -509,7 +509,7 @@ def test_ivf_cell_partitioned_corpus_prunes_files(spark, tmp_path, vectors):
     df, _ = vectors
     cents = train_ivf_centroids(df, 8)
     out = str(tmp_path / "ivf_corpus")
-    ivf_assign(df, cents).write.partitionBy("cell").parquet(out)
+    ivf_assign(df, cents, with_vec=True).write.partitionBy("cell").parquet(out)
     stored = spark.read.parquet(out)
     probed = stored.where(F.col("cell").isin([0, 3]))
     buf = io.StringIO()

@@ -313,3 +313,97 @@ def test_streaming_simhash_pairs_across_batches(spark, tmp_path):
     for a, b, h in got2:
         d_ab = bin((allfp[a] ^ allfp[b]) & ((1 << 64) - 1)).count("1")
         assert d_ab == h <= 3
+
+
+class _FakeState:
+    """Minimal stand-in for GroupState — drives _bucket_fn directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_streaming_simhash_overflow_vs_overflow_same_batch():
+    """Two overflow arrivals (bucket state already at max_per_key) in the
+    SAME micro-batch chunk must still pair with each other — the round-3
+    advice defect: each used to be checked only against stored state."""
+    import pandas as pd
+
+    from tetrex_spark.streaming.simhash_stream import _bucket_fn
+
+    fn = _bucket_fn(max_hamming=3, max_per_key=2, ttl_ms=None)
+    base = 0x0123456789ABCDEF
+    # state pre-filled to the cap with two far-away fingerprints
+    st = _FakeState(([100, 101], [-1, 0x7000000000000000]))
+    batch = pd.DataFrame({"id": [200, 201], "simhash": [base, base ^ 0b11]})
+    out = pd.concat(list(fn(("b", 0), iter([batch]), st)), ignore_index=True)
+    got = {(r.id_a, r.id_b, r.hamming) for r in out.itertuples()}
+    assert got == {(200, 201, 2)}
+    # neither overflow arrival was stored (cap holds)
+    ids, _ = st.get
+    assert ids == [100, 101]
+
+
+def test_streaming_simhash_state_update_vectorized_5k():
+    """A >= 5k-row chunk through one bucket's state update stays fast
+    (one XOR-popcount matrix, no per-row Python loop) and agrees with a
+    brute-force pair computation."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from tetrex_spark.streaming.simhash_stream import _bucket_fn
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    # cluster structure: 64 base fingerprints, each repeated with <=2 bit
+    # flips, so real pairs exist without the pair list going quadratic
+    bases = rng.integers(0, 2**63, size=64, dtype=np.int64)
+    fps = bases[rng.integers(0, 64, size=n)]
+    flips = rng.integers(0, 64, size=n)
+    fps = fps ^ (np.int64(1) << (flips % 63))
+    ids = np.arange(n, dtype=np.int64)
+    batch = pd.DataFrame({"id": ids, "simhash": fps})
+    # best-of-3 under a generous bound: the host shows ~5x run-to-run
+    # noise from hypervisor neighbors; the old per-row Python loop took
+    # >15s for this input even on a quiet machine
+    dt = float("inf")
+    for _ in range(3):
+        fn = _bucket_fn(max_hamming=2, max_per_key=8192, ttl_ms=None)
+        st = _FakeState()
+        t0 = time.time()
+        out = pd.concat(list(fn(("b", 0), iter([batch]), st)), ignore_index=True)
+        dt = min(dt, time.time() - t0)
+    assert dt < 3.0, f"state update took {dt:.2f}s for {n} rows"
+    # spot-check against brute force on a sample of emitted pairs
+    fp_of = dict(zip(ids.tolist(), fps.tolist()))
+    sample = out.sample(n=min(200, len(out)), random_state=1)
+    for r in sample.itertuples():
+        d = bin((fp_of[r.id_a] ^ fp_of[r.id_b]) & ((1 << 64) - 1)).count("1")
+        assert d == r.hamming <= 2
+    # completeness: brute-force count of <=2-hamming pairs matches
+    # (independent byte-LUT popcount, not the kernel's SWAR)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    x = fps[:, None] ^ fps[None, :]
+    pc = lut[x.view(np.uint8).reshape(n, n, 8)].sum(axis=2)
+    ii, jj = np.triu_indices(n, k=1)
+    want_n = int(((pc[ii, jj] <= 2) & (ids[ii] != ids[jj])).sum())
+    assert len(out) == want_n

@@ -318,15 +318,25 @@ def bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
     return pos.astype(np.int64)
 
 
-_POPCNT8 = np.unpackbits(
-    np.arange(256, dtype=np.uint8)[:, None], axis=1
-).sum(axis=1).astype(np.uint8)
+_M1 = np.int64(0x5555555555555555)
+_M2 = np.int64(0x3333333333333333)
+_M4 = np.int64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.int64(0x0101010101010101)
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
-    """Per-element popcount of a uint64/int64 array (byte-LUT fold —
-    numpy 1.x has no bitwise_count). Used by the streaming SimHash gate's
-    in-state hamming checks; matches the JVM bit_count the batch verify
-    uses."""
-    b = np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)
-    return _POPCNT8[b].sum(axis=1).astype(np.int64)
+    """Per-element popcount of a uint64/int64 array — SWAR fold on INT64
+    lanes (numpy 1.x has no bitwise_count, and this numpy build's uint64
+    shift falls into a ~13x-slower generic loop than the int64 kernel).
+    int64 arithmetic right-shift is safe here: the sign-extension bits a
+    logical shift would zero land only in positions each following mask
+    clears (bit 63 of _M1, bits 62-63 of _M2, 60-63 of _M4), and after
+    the first two folds every lane value is small enough that the sign
+    bit is clear. Flattens any input shape (matrix callers reshape).
+    Used by the streaming SimHash gate's in-state hamming checks; matches
+    the JVM bit_count the batch verify uses."""
+    v = np.ascontiguousarray(x).view(np.int64).reshape(-1)
+    v = v - ((v >> 1) & _M1)
+    v = (v & _M2) + ((v >> 2) & _M2)
+    v = (v + (v >> 4)) & _M4
+    return (v * _H01) >> 56

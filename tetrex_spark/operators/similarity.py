@@ -62,6 +62,19 @@ def cosine_topk(
     return out.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def _topk_idx(s: np.ndarray, ids: np.ndarray, top: int) -> np.ndarray:
+    """Indices of the top-`top` rows under the (score desc, id asc) total
+    order — O(n) argpartition to find the boundary score, then lexsort
+    only the top slice PLUS every row tied at the boundary, so the
+    deterministic tie-break picks the same ids a full sort would."""
+    if s.size > top:
+        thresh = s[np.argpartition(-s, top - 1)[top - 1]]
+        cand = np.nonzero(s >= thresh)[0]
+    else:
+        cand = np.arange(s.size)
+    return cand[np.lexsort((ids[cand], -s[cand]))][:top]
+
+
 def cosine_topk_batch(
     df: DataFrame,
     queries: dict[int, list[float]],
@@ -96,10 +109,11 @@ def cosine_topk_batch(
             rows = {"query_id": [], id_col: [], "cosine": []}
             for qi, qid in enumerate(qids):
                 # partial top-k under the SAME total order as the final
-                # window (cosine desc, id asc): boundary ties inside one
-                # batch must keep the id the global tie-break will pick
-                part = np.lexsort((ids, -scores[qi]))[:top]
-                rows["query_id"].extend([qid] * top)
+                # window (cosine desc, id asc): _topk_idx keeps boundary
+                # ties so the id the global tie-break will pick survives,
+                # without lexsorting the whole partition per query
+                part = _topk_idx(scores[qi], ids, top)
+                rows["query_id"].extend([qid] * len(part))
                 rows[id_col].extend(ids[part])
                 rows["cosine"].extend(scores[qi, part])
             yield pd.DataFrame(rows)
@@ -209,15 +223,19 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_vec: bool = False,
 ) -> DataFrame:
-    """(id, vec, cell): nearest-centroid cell per vector — broadcast
-    centroid matrix, one matmul per Arrow batch. A corpus materialized
-    partitioned-by-cell turns every probe into file-level pruning."""
+    """(id, cell): nearest-centroid cell per vector — broadcast centroid
+    matrix, one matmul per Arrow batch. Only (id, cell) crosses back from
+    the Python worker (16 B/row); the embedding column is never
+    round-tripped through Arrow. with_vec=True joins the original vector
+    column back JVM-side — use it to materialize a corpus
+    partitioned-by-cell, which turns every probe into file-level
+    pruning."""
     b_c = df.sparkSession.sparkContext.broadcast(centroids)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
-            T.StructField(vec_col, T.ArrayType(T.DoubleType()), False),
             T.StructField("cell", T.IntegerType(), False),
         ]
     )
@@ -230,12 +248,12 @@ def ivf_assign(
             M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             cell = np.argmax(Mn @ C.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(),
-                 vec_col: list(M), "cell": cell}
-            )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cell": cell})
 
-    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+    assigned = df.select(id_col, vec_col).mapInPandas(fn, schema)
+    if with_vec:
+        return df.select(id_col, vec_col).join(assigned, id_col)
+    return assigned
 
 
 def ivf_topk_batch(
@@ -267,11 +285,19 @@ def ivf_topk_batch(
     # n_probe nearest cells per query (driver-side: Q x n_cells dots)
     probe = np.argsort(-(Qn @ centroids.T), axis=1)[:, :n_probe]
     probe_sets = {qid: set(map(int, probe[qi])) for qi, qid in enumerate(qids)}
-    cells_needed = sorted(set().union(*probe_sets.values()))
-    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
-    cand = assigned.where(F.col("cell").isin(cells_needed))
+    cells_needed = np.asarray(
+        sorted(set().union(*probe_sets.values())), dtype=np.int64
+    )
     spark = df.sparkSession
-    b_q = spark.sparkContext.broadcast((qids, Qn, probe_sets))
+    # assignment + probe filter + scoring FUSED into ONE Arrow pass: the
+    # embedding column crosses the Python boundary exactly once and
+    # nothing but (query_id, id, cosine) partials crosses back (an earlier
+    # revision round-tripped full vectors out of ivf_assign and back in
+    # for scoring — 2x the necessary Arrow traffic on the corpus's widest
+    # column). On a corpus materialized partitioned-by-cell (see
+    # ivf_assign with_vec=True) filter on `cell` FIRST for file pruning,
+    # then this pass rescopes to per-query probe cells for free.
+    b_q = spark.sparkContext.broadcast((qids, Qn, probe_sets, centroids))
     schema = T.StructType(
         [
             T.StructField("query_id", T.LongType(), False),
@@ -281,15 +307,20 @@ def ivf_topk_batch(
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _qids, _Qn, _probe = b_q.value
+        _qids, _Qn, _probe, _C = b_q.value
         for pdf in batches:
             if pdf.empty:
                 continue
             M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            cells = pdf["cell"].to_numpy()
+            cells = np.argmax(Mn @ _C.T, axis=1)
             ids = pdf[id_col].to_numpy()
-            scores = _Qn @ Mn.T  # (Q, n)
+            # drop rows in cells no query probes before any scoring
+            needed = np.isin(cells, cells_needed)
+            if not needed.any():
+                continue
+            Mn, cells, ids = Mn[needed], cells[needed], ids[needed]
+            scores = _Qn @ Mn.T  # (Q, n_kept)
             rows = {"query_id": [], id_col: [], "cosine": []}
             for qi, qid in enumerate(_qids):
                 mask = np.isin(cells, list(_probe[qid]))
@@ -297,17 +328,16 @@ def ivf_topk_batch(
                     continue
                 s = scores[qi][mask]
                 mids = ids[mask]
-                top = min(k, s.size)
                 # same total order as the final window (cosine desc, id
-                # asc) — argpartition's arbitrary tie order could drop the
-                # id the deterministic global tie-break needs
-                part = np.lexsort((mids, -s))[:top]
-                rows["query_id"].extend([qid] * top)
+                # asc) — _topk_idx keeps boundary ties so the id the
+                # deterministic global tie-break needs survives
+                part = _topk_idx(s, mids, min(k, s.size))
+                rows["query_id"].extend([qid] * len(part))
                 rows[id_col].extend(mids[part])
                 rows["cosine"].extend(s[part])
             yield pd.DataFrame(rows)
 
-    partials = cand.mapInPandas(fn, schema)
+    partials = df.select(id_col, vec_col).mapInPandas(fn, schema)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))

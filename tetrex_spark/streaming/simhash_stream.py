@@ -22,10 +22,14 @@ Guarantees and bounds:
     verify removes them). Cross-band duplicate emissions are possible
     (same pair found via two bands) — dedupe downstream if exact-once
     pairs are needed (the batch path's `distinct` plays that role).
-  - state per key is CAPPED at `max_per_key` fingerprints (oldest kept,
-    overflow arrivals are still checked and emitted but not stored) and
-    optionally expired by a processing-time timeout — both bounds echo
-    the batch path's bucket caps and the watermark bound of
+  - state per key is CAPPED at `max_per_key` fingerprints (oldest kept;
+    overflow arrivals are not stored but ARE checked — against the stored
+    state and against every earlier arrival of their own chunk, so two
+    overflow arrivals landing in the same micro-batch chunk still pair
+    with each other; overflow-vs-overflow pairs ACROSS chunks/batches are
+    dropped, the streaming analog of the batch path's whole-bucket cap
+    drops) and optionally expired by a processing-time timeout — both
+    bounds echo the batch path's bucket caps and the watermark bound of
     streaming_exact_dedup.
 """
 
@@ -60,6 +64,15 @@ _STATE_SCHEMA = T.StructType(
 def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
     from ..kernel.hashing import popcount64
 
+    def _emit(a, b, d, frames):
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        frames.append(
+            pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "hamming": d.astype(np.int32)}
+            )
+        )
+
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
@@ -73,34 +86,52 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
         else:
             ids = np.zeros(0, dtype=np.int64)
             fps = np.zeros(0, dtype=np.int64)
-        out = {"id_a": [], "id_b": [], "hamming": []}
+        frames: list[pd.DataFrame] = []
         for pdf in pdfs:
             if pdf.empty:
                 continue
             # deterministic in-batch order (matches the batch id_a < id_b
             # canonical form)
             pdf = pdf.sort_values("id")
-            for nid, nfp in zip(
-                pdf["id"].to_numpy(np.int64), pdf["simhash"].to_numpy(np.int64)
-            ):
-                if ids.size:
-                    d = popcount64(
-                        np.bitwise_xor(fps.view(np.uint64), np.uint64(nfp))
+            nids = pdf["id"].to_numpy(np.int64)
+            nfps = pdf["simhash"].to_numpy(np.int64)
+            # one XOR-popcount MATRIX per chunk, not a Python loop per row
+            if ids.size:
+                d = popcount64(
+                    np.bitwise_xor(
+                        nfps.view(np.uint64)[:, None], fps.view(np.uint64)[None, :]
                     )
-                    hit = (d <= max_hamming) & (ids != nid)
-                    for oid, dd in zip(ids[hit], d[hit]):
-                        lo, hi = (oid, nid) if oid < nid else (nid, oid)
-                        out["id_a"].append(int(lo))
-                        out["id_b"].append(int(hi))
-                        out["hamming"].append(int(dd))
-                if ids.size < max_per_key:
-                    ids = np.append(ids, nid)
-                    fps = np.append(fps, nfp)
+                ).reshape(nids.size, ids.size)
+                ni, si = np.nonzero(
+                    (d <= max_hamming) & (nids[:, None] != ids[None, :])
+                )
+                if ni.size:
+                    _emit(nids[ni], ids[si], d[ni, si], frames)
+            # arrivals vs EARLIER arrivals of the same chunk — including
+            # overflow arrivals that will never be stored (a capped bucket
+            # still pairs its own batch's members with each other)
+            if nids.size > 1:
+                dnn = popcount64(
+                    np.bitwise_xor(
+                        nfps.view(np.uint64)[:, None],
+                        nfps.view(np.uint64)[None, :],
+                    )
+                ).reshape(nids.size, nids.size)
+                ii, jj = np.triu_indices(nids.size, k=1)
+                keep = (dnn[ii, jj] <= max_hamming) & (nids[ii] != nids[jj])
+                ii, jj = ii[keep], jj[keep]
+                if ii.size:
+                    _emit(nids[ii], nids[jj], dnn[ii, jj], frames)
+            # store in arrival order while room remains (oldest kept)
+            room = max_per_key - ids.size
+            if room > 0:
+                ids = np.concatenate([ids, nids[:room]])
+                fps = np.concatenate([fps, nfps[:room]])
         state.update((ids.tolist(), fps.tolist()))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        if out["id_a"]:
-            yield pd.DataFrame(out).astype(
+        if frames:
+            yield pd.concat(frames, ignore_index=True).astype(
                 {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
             )
 
