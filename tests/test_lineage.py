@@ -158,3 +158,72 @@ def test_checkpointed_dedup_refuses_param_mismatch(spark, dedup_docs, tmp_path):
     # same params or a new build_id are fine
     CheckpointedDedup(d, threshold=0.7, n_chunks=4)
     CheckpointedDedup(d, threshold=0.9, n_chunks=4, build_id="dedup-1")
+
+
+def test_checkpointed_simhash_kill_resume_identical(spark, dedup_docs, tmp_path):
+    """SimHash pipeline lineage: kill after a fingerprint chunk AND after
+    the pairs stage; each resumed run lands on pairs identical to the
+    single-shot operator (same n_blocks pinned)."""
+    from tetrex_spark.lineage import CheckpointedSimhashDedup
+    from tetrex_spark.operators.dedup import simhash_pairs
+
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(dedup_docs, max_hamming=3, n_blocks=4).collect()
+    }
+    d = str(tmp_path / "sh_ckpt")
+    cd = CheckpointedSimhashDedup(d, n_blocks=4, n_chunks=6)
+    assert cd.run(dedup_docs, stop_after="fps:1") is None
+    assert cd.committed() == {"fps:0", "fps:1"}
+    cd2 = CheckpointedSimhashDedup(d, n_blocks=4, n_chunks=6)
+    assert cd2.run(dedup_docs, stop_after="pairs") is None
+    assert "pairs" in cd2.committed()
+    cd3 = CheckpointedSimhashDedup(d, n_blocks=4, n_chunks=6)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in cd3.run(dedup_docs).collect()
+    }
+    assert got == want
+    stages = [r["stage"] for r in cd3.lineage() if r["status"] == "committed"]
+    assert len(stages) == len(set(stages)) == 7  # 6 fp chunks + pairs
+    # param mismatch refuses loudly
+    with pytest.raises(ValueError, match="stale"):
+        CheckpointedSimhashDedup(d, n_blocks=6, n_chunks=6)
+
+
+def test_checkpointed_cosine_kill_resume_identical(spark, tmp_path):
+    """Embedding near-dup lineage: kill after a bucket chunk AND after the
+    verify stage; resumed pairs byte-identical to the single-shot
+    hyperplane_lsh_pairs call with the same parameters."""
+    import numpy as np
+
+    from tetrex_spark.lineage import CheckpointedCosineDedup
+    from tetrex_spark.operators.similarity import hyperplane_lsh_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # planted near-dups: tiny perturbations of vectors 0..4
+    for i in range(5):
+        rows.append((100 + i, (base[i] + 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in hyperplane_lsh_pairs(df, dim=16, threshold=0.9).collect()
+    }
+    assert want  # fixture must produce survivors
+    d = str(tmp_path / "cos_ckpt")
+    cd = CheckpointedCosineDedup(d, dim=16, threshold=0.9, n_chunks=4)
+    assert cd.run(df, stop_after="buckets:0") is None
+    assert cd.committed() == {"buckets:0"}
+    cd2 = CheckpointedCosineDedup(d, dim=16, threshold=0.9, n_chunks=4)
+    assert cd2.run(df, stop_after="pairs") is None
+    cd3 = CheckpointedCosineDedup(d, dim=16, threshold=0.9, n_chunks=4)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"]) for r in cd3.run(df).collect()
+    }
+    assert got == want
+    stages = [r["stage"] for r in cd3.lineage() if r["status"] == "committed"]
+    assert len(stages) == len(set(stages)) == 5  # 4 bucket chunks + pairs
+    with pytest.raises(ValueError, match="stale"):
+        CheckpointedCosineDedup(d, dim=16, threshold=0.8, n_chunks=4)

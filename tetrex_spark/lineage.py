@@ -153,58 +153,23 @@ class CheckpointedBuild:
         return out
 
 
-class CheckpointedDedup:
-    """Resumable MinHash-LSH near-dup pipeline (the dedup counterpart of
-    CheckpointedBuild — round-2 review asked for exactly this).
-
-    Stage model, each committed to the JSONL lineage log:
-
-      sigsets:<i>  the rep-level fused signature+set table, in
-                   `n_chunks` deterministic chunks of the rep id space
-                   (pmod(xxhash64(id), n_chunks) — stable across runs
-                   and parallelism), each written atomically to
-                   `<dir>/sigsets/chunk=<i>/`.
-      pairs        verified rep-level near-dup pairs computed FROM THE
-                   STORED sigset chunks (banding + cap + exact-Jaccard
-                   verify), written to `<dir>/rep_pairs/`.
-
-    A killed job resumes at the first uncommitted stage; the expanded
-    member-level pair list (and any clustering on top — the CC rounds
-    are a deterministic function of the stored pairs) is recomputed
-    lazily from (docs, stored rep_pairs), so a resumed run is
-    byte-identical to a single-shot one — tested by killing after the
-    banding/sigset stage. `stop_after` ("sigsets:<i>" | "pairs")
-    simulates the kill in tests."""
+class _StagedCheckpoint:
+    """Shared machinery for staged, resumable pipelines: a JSONL lineage
+    log of committed stages plus a parameter fingerprint pinned per
+    build_id — committed stages are only valid under the parameters that
+    produced them, so resuming with a changed configuration against old
+    artifacts refuses loudly instead of silently returning stale or
+    incomplete results."""
 
     def __init__(
-        self,
-        checkpoint_dir: str,
-        *,
-        k: int = 3,
-        num_perm: int = 128,
-        bands: int = 32,
-        threshold: float = 0.8,
-        max_bucket: int | None = 512,
-        n_chunks: int = 8,
-        build_id: str = "dedup-0",
+        self, checkpoint_dir: str, *, params: dict, build_id: str,
+        subdirs: tuple[str, ...] = (),
     ):
-        if num_perm % bands:
-            raise ValueError("bands must divide num_perm")
         self.dir = checkpoint_dir
-        self.k, self.num_perm, self.bands = k, num_perm, bands
-        self.threshold, self.max_bucket = threshold, max_bucket
-        self.n_chunks, self.build_id = n_chunks, build_id
-        os.makedirs(f"{self.dir}/sigsets", exist_ok=True)
-        # committed stages are only valid under the parameters that
-        # produced them — resuming with a changed threshold/banding/chunk
-        # grain against old artifacts would silently return stale or
-        # incomplete pairs, so the parameter fingerprint is pinned per
-        # build_id and mismatches refuse loudly
-        params = {
-            "k": k, "num_perm": num_perm, "bands": bands,
-            "threshold": threshold, "max_bucket": max_bucket,
-            "n_chunks": n_chunks,
-        }
+        self.build_id = build_id
+        os.makedirs(self.dir, exist_ok=True)
+        for s in subdirs:
+            os.makedirs(f"{self.dir}/{s}", exist_ok=True)
         ppath = f"{self.dir}/params_{build_id}.json"
         if os.path.exists(ppath):
             stored = json.loads(open(ppath).read())
@@ -244,6 +209,58 @@ class CheckpointedDedup:
                 )
                 + "\n"
             )
+
+
+class CheckpointedDedup(_StagedCheckpoint):
+    """Resumable MinHash-LSH near-dup pipeline (the dedup counterpart of
+    CheckpointedBuild — round-2 review asked for exactly this).
+
+    Stage model, each committed to the JSONL lineage log:
+
+      sigsets:<i>  the rep-level fused signature+set table, in
+                   `n_chunks` deterministic chunks of the rep id space
+                   (pmod(xxhash64(id), n_chunks) — stable across runs
+                   and parallelism), each written atomically to
+                   `<dir>/sigsets/chunk=<i>/`.
+      pairs        verified rep-level near-dup pairs computed FROM THE
+                   STORED sigset chunks (banding + cap + exact-Jaccard
+                   verify), written to `<dir>/rep_pairs/`.
+
+    A killed job resumes at the first uncommitted stage; the expanded
+    member-level pair list (and any clustering on top — the CC rounds
+    are a deterministic function of the stored pairs) is recomputed
+    lazily from (docs, stored rep_pairs), so a resumed run is
+    byte-identical to a single-shot one — tested by killing after the
+    banding/sigset stage. `stop_after` ("sigsets:<i>" | "pairs")
+    simulates the kill in tests."""
+
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        *,
+        k: int = 3,
+        num_perm: int = 128,
+        bands: int = 32,
+        threshold: float = 0.8,
+        max_bucket: int | None = 512,
+        n_chunks: int = 8,
+        build_id: str = "dedup-0",
+    ):
+        if num_perm % bands:
+            raise ValueError("bands must divide num_perm")
+        self.k, self.num_perm, self.bands = k, num_perm, bands
+        self.threshold, self.max_bucket = threshold, max_bucket
+        self.n_chunks = n_chunks
+        super().__init__(
+            checkpoint_dir,
+            params={
+                "k": k, "num_perm": num_perm, "bands": bands,
+                "threshold": threshold, "max_bucket": max_bucket,
+                "n_chunks": n_chunks,
+            },
+            build_id=build_id,
+            subdirs=("sigsets",),
+        )
 
     # -- stages -----------------------------------------------------------
 
@@ -312,3 +329,202 @@ class CheckpointedDedup:
         # rows there are exactly the shingle-eligible reps) — no text
         # re-derivation on resume
         return expand_rep_pairs(docs, rep_pairs, ss.select("id"))
+
+
+class CheckpointedSimhashDedup(_StagedCheckpoint):
+    """Resumable SimHash near-dup pipeline — same stage model as
+    CheckpointedDedup, with the 8-byte/doc fingerprint table as the
+    natural chunk unit (computing fingerprints is the expensive text
+    pass; everything downstream is integer shuffles):
+
+      fps:<i>  (id, simhash) fingerprints for the i-th deterministic
+               chunk of the id space (pmod(xxhash64(id), n_chunks)),
+               written atomically to `<dir>/fps/chunk=<i>/`.
+      pairs    rep-level pairs computed FROM THE STORED fingerprint
+               chunks (identical-simhash collapse + pigeonhole blocking
+               + bit_count verify), written to `<dir>/rep_pairs/`.
+
+    The member-level expansion is recomputed lazily from (stored fps,
+    stored rep_pairs) — a resumed run is byte-identical to a single-shot
+    one. n_blocks is pinned (no adaptive width here: the blocking plan
+    is part of the parameter fingerprint a resume must reproduce)."""
+
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        *,
+        max_hamming: int = 3,
+        n_blocks: int = 6,
+        max_bucket: int | None = 512,
+        n_chunks: int = 8,
+        build_id: str = "simhash-0",
+    ):
+        self.max_hamming, self.n_blocks = max_hamming, n_blocks
+        self.max_bucket, self.n_chunks = max_bucket, n_chunks
+        super().__init__(
+            checkpoint_dir,
+            params={
+                "max_hamming": max_hamming, "n_blocks": n_blocks,
+                "max_bucket": max_bucket, "n_chunks": n_chunks,
+            },
+            build_id=build_id,
+            subdirs=("fps",),
+        )
+
+    def run(
+        self,
+        df: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        resume: bool = True,
+        stop_after: str | None = None,
+        expand_exact_dups: bool = True,
+    ) -> DataFrame | None:
+        from .operators.dedup import (
+            expand_simhash_rep_pairs,
+            simhash,
+            simhash_pairs_from_fingerprints,
+        )
+
+        spark = df.sparkSession
+        done = self.committed() if resume else set()
+        for chunk in range(self.n_chunks):
+            stage = f"fps:{chunk}"
+            if stage in done:
+                continue
+            t0 = time.time()
+            part = simhash(
+                df.filter(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_chunks))
+                    == chunk
+                ),
+                text_col, id_col,
+            )
+            path = f"{self.dir}/fps/chunk={chunk}"
+            part.write.mode("overwrite").parquet(path)
+            n = spark.read.parquet(path).count()
+            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == stage:
+                return None
+        sh = spark.read.parquet(
+            *[f"{self.dir}/fps/chunk={i}" for i in range(self.n_chunks)]
+        )
+        if "pairs" not in (self.committed() if resume else set()):
+            t0 = time.time()
+            rp = simhash_pairs_from_fingerprints(
+                sh.persist(), self.max_hamming, n_blocks=self.n_blocks,
+                max_bucket=self.max_bucket, expand_exact_dups=False,
+            )
+            rp.write.mode("overwrite").parquet(f"{self.dir}/rep_pairs")
+            sh.unpersist()
+            n = spark.read.parquet(f"{self.dir}/rep_pairs").count()
+            self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == "pairs":
+                return None
+        rep_pairs = spark.read.parquet(f"{self.dir}/rep_pairs")
+        if not expand_exact_dups:
+            return rep_pairs
+        return expand_simhash_rep_pairs(sh, rep_pairs)
+
+
+class CheckpointedCosineDedup(_StagedCheckpoint):
+    """Resumable embedding near-dup pipeline (the high-threshold
+    hyperplane-LSH path of operators.similarity):
+
+      buckets:<i>  (id, band, bh) hyperplane-signature rows for the i-th
+                   deterministic chunk of the id space, written to
+                   `<dir>/buckets/chunk=<i>/` — the signature matmul is
+                   the per-vector work worth not repeating.
+      pairs        exact-cosine-verified pairs from the stored buckets
+                   (size-capped band join + packed-BLAS verify against
+                   the corpus), written to `<dir>/pairs/`.
+
+    The verify stage re-packs corpus blocks from `df` (one linear pass;
+    storing the packed matrix would double corpus IO for no compute
+    saved). Signatures are seed-deterministic, block membership is
+    xxhash64 of ids, and packed ids are sorted — a resumed run emits
+    byte-identical pairs."""
+
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        *,
+        dim: int,
+        n_planes: int = 12,
+        n_bands: int = 8,
+        threshold: float = 0.9,
+        max_bucket: int | None = 4096,
+        block: int = 4096,
+        n_chunks: int = 8,
+        seed: int = 42,
+        build_id: str = "cosdedup-0",
+    ):
+        self.dim, self.n_planes, self.n_bands = dim, n_planes, n_bands
+        self.threshold, self.max_bucket = threshold, max_bucket
+        self.block, self.n_chunks, self.seed = block, n_chunks, seed
+        super().__init__(
+            checkpoint_dir,
+            params={
+                "dim": dim, "n_planes": n_planes, "n_bands": n_bands,
+                "threshold": threshold, "max_bucket": max_bucket,
+                "block": block, "n_chunks": n_chunks, "seed": seed,
+            },
+            build_id=build_id,
+            subdirs=("buckets",),
+        )
+
+    def run(
+        self,
+        df: DataFrame,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        resume: bool = True,
+        stop_after: str | None = None,
+    ) -> DataFrame | None:
+        from .operators.dedup import capped_candidate_pairs
+        from .operators.similarity import cosine_verify_pairs, lsh_buckets
+
+        spark = df.sparkSession
+        done = self.committed() if resume else set()
+        for chunk in range(self.n_chunks):
+            stage = f"buckets:{chunk}"
+            if stage in done:
+                continue
+            t0 = time.time()
+            part = lsh_buckets(
+                df.filter(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_chunks))
+                    == chunk
+                ),
+                dim=self.dim, n_planes=self.n_planes, n_bands=self.n_bands,
+                vec_col=vec_col, id_col=id_col, seed=self.seed,
+            )
+            path = f"{self.dir}/buckets/chunk={chunk}"
+            part.write.mode("overwrite").parquet(path)
+            n = spark.read.parquet(path).count()
+            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == stage:
+                return None
+        if "pairs" not in (self.committed() if resume else set()):
+            t0 = time.time()
+            buckets = spark.read.parquet(
+                *[f"{self.dir}/buckets/chunk={i}" for i in range(self.n_chunks)]
+            )
+            handles: list = []
+            cand = capped_candidate_pairs(
+                buckets, self.max_bucket, release=handles
+            )
+            verified = cosine_verify_pairs(
+                df, cand, self.threshold,
+                vec_col=vec_col, id_col=id_col, block=self.block,
+            )
+            verified.write.mode("overwrite").parquet(f"{self.dir}/pairs")
+            for fin in handles:
+                fin()
+            n = spark.read.parquet(f"{self.dir}/pairs").count()
+            self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == "pairs":
+                return None
+        return spark.read.parquet(f"{self.dir}/pairs")

@@ -679,6 +679,19 @@ def simhash_pairs_from_fingerprints(
     groups.unpersist()
     if not expand_exact_dups:
         return rep_pairs
+    return expand_simhash_rep_pairs(sh, rep_pairs)
+
+
+def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+    """Expand rep-level SimHash pairs to member pairs from a fingerprint
+    table (id, simhash): cross-group pairs inherit the representatives'
+    hamming (equal simhash => equal distance to everything); intra-group
+    pairs are hamming 0. Integer shuffles only; shared by the batch path
+    and the checkpointed pipeline's resume leg (which reads `sh` and
+    `rep_pairs` straight from stored chunks)."""
+    groups = sh.groupBy("simhash").agg(
+        F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
+    )
     members = sh.select(F.col("simhash").alias("grp"), "id")
     rg = groups.select(F.col("id").alias("rid"), F.col("simhash").alias("rgrp"))
     pairs_g = (
