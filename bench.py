@@ -158,6 +158,36 @@ def main() -> None:
         lambda: entrymod.queries()["hyperplane_pairs_t90"](spark, sf_dir).count(),
     )
 
+    # CLI dedup end-to-end (the checkpointed MinHash pipeline + CC keep
+    # list behind `tetrex_spark dedup`), plus a resume leg over the same
+    # checkpoint: the resume re-reads committed stages only, so the delta
+    # vs the cold run is the checkpointed pipeline's stage-write overhead
+    # against the direct minhash_lsh_pairs call (jaccard_pairs_lsh above)
+    import shutil
+    import tempfile
+
+    from tetrex_spark.cli import main as cli_main
+
+    cli_dir = tempfile.mkdtemp(prefix="tetrex_cli_dedup_")
+    try:
+        cli_args = [
+            "dedup", "--corpus", f"{sf_dir}/documents.parquet",
+            "--output", f"{cli_dir}/out", "--id-col", "doc_id",
+            "--text-col", "text", "--chunks", "4",
+        ]
+        t0 = time.time()
+        cli_main(cli_args)
+        times["cli_dedup_cold"] = round(time.time() - t0, 3)
+        rows["cli_dedup_cold"] = int(
+            spark.read.parquet(f"{cli_dir}/out/pairs").count()
+        )
+        t0 = time.time()
+        cli_main(cli_args)  # resume: all stages committed, re-read only
+        times["cli_dedup_resume"] = round(time.time() - t0, 3)
+        rows["cli_dedup_resume"] = rows["cli_dedup_cold"]
+    finally:
+        shutil.rmtree(cli_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     build_rate = round(n_docs / max(times["sketch_build_merge"], 1e-9), 1)
     print(

@@ -564,3 +564,41 @@ def test_pair_operators_deterministic_across_parallelism(docs):
     }
     assert want_mh == got_mh and want_mh
     assert want_sh == got_sh and want_sh
+
+
+def test_simhash_adaptive_width_seam_pairs_identical(spark):
+    """The adaptive n_blocks cutoff (4 below 2e5 docs, 6 above) must be a
+    pure capacity/perf decision: a corpus straddling the seam produces
+    IDENTICAL pair sets at n_blocks=4, n_blocks=6 and n_blocks=None —
+    pigeonhole recall is width-independent. Fingerprints are synthesized
+    JVM-side (xxhash64 over a range) so the >2e5-doc side stays cheap;
+    planted near-dups supply real pairs."""
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    n = 200_050  # just over the 200_000 cutoff
+    noise = spark.range(n).select(
+        F.col("id"), F.xxhash64("id").alias("simhash")
+    )
+    # planted near-dups: ids >= 10_000_000 carry a <=3-bit perturbation of
+    # the fingerprint of id (i - 10_000_000)
+    planted = spark.range(10_000_000, 10_000_040).select(
+        F.col("id"),
+        F.xxhash64(F.col("id") - 10_000_000)
+        .bitwiseXOR(F.lit(0b10100000001)).alias("simhash"),
+    )
+    sh = (noise.unionByName(planted)).localCheckpoint(eager=True)
+    results = {}
+    for nb in (4, 6, None):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs_from_fingerprints(
+                sh, max_hamming=3, n_blocks=nb
+            ).collect()
+        }
+        results[nb] = got
+    assert results[4] == results[6] == results[None]
+    # every planted pair found (xor mask 0b10100000001 has popcount 3)
+    want = {(i, i + 10_000_000, 3) for i in range(40)}
+    assert want <= results[4]
