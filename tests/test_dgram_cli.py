@@ -237,3 +237,66 @@ def test_cli_regex_file_duplicate_qids_not_dropped(spark, tmp_path, capsys):
     qids = {l.split("\t")[0] for l in out.splitlines() if "\t" in l}
     assert qids == {"q1", "q1#2"}
     assert "accg" in out and "ttcc" in out
+
+
+def test_cli_dedup_simhash_method(spark, tmp_path):
+    """`dedup --method simhash` routes through CheckpointedSimhashDedup:
+    pairs carry hamming, the keep-list drops the planted exact copy, and
+    a re-run resumes without new stage commits."""
+    from tetrex_spark.cli import main
+    from tetrex_spark.sources.corpus import webtext_small
+
+    corpus_path = str(tmp_path / "corpus_sh")
+    corpus = webtext_small(spark)
+    dup = corpus.limit(1).withColumn(
+        "url", F.concat(F.col("url"), F.lit("-copy"))
+    )
+    corpus.unionByName(dup).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "dedup_sh_out")
+    rc = main(["dedup", "--corpus", corpus_path, "--output", out_dir,
+               "--method", "simhash", "--chunks", "4"])
+    assert rc == 0
+    pairs = spark.read.parquet(f"{out_dir}/pairs")
+    assert "hamming" in pairs.columns and pairs.count() >= 1
+    keep = spark.read.parquet(f"{out_dir}/keep")
+    assert keep.count() == 65 and keep.filter("keep = 1").count() < 65
+    lineage_path = f"{out_dir}/_checkpoint/lineage.jsonl"
+    n_commits = sum(1 for _ in open(lineage_path))
+    assert main(["dedup", "--corpus", corpus_path, "--output", out_dir,
+                 "--method", "simhash", "--chunks", "4"]) == 0
+    assert sum(1 for _ in open(lineage_path)) == n_commits
+
+
+def test_cli_embdedup_keep_list(spark, tmp_path):
+    """`embdedup`: hyperplane-LSH + packed-BLAS verify over an embeddings
+    table through CheckpointedCosineDedup; planted near-dup twins are
+    clustered and dropped; resume adds no stage commits."""
+    import numpy as np
+
+    from tetrex_spark.cli import main
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(6):  # near-dup twins of vectors 0..5
+        rows.append((100 + i, (base[i] + 0.01).tolist()))
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(emb_path)
+    out_dir = str(tmp_path / "embdedup_out")
+    rc = main(["embdedup", "--corpus", emb_path, "--output", out_dir,
+               "--threshold", "0.9", "--chunks", "4"])
+    assert rc == 0
+    pairs = spark.read.parquet(f"{out_dir}/pairs")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, 100 + i) for i in range(6)} <= got
+    keep = spark.read.parquet(f"{out_dir}/keep")
+    assert keep.count() == 46
+    # each twin pair keeps exactly one member
+    assert keep.filter("keep = 1").count() == 40
+    lineage_path = f"{out_dir}/_checkpoint/lineage.jsonl"
+    n_commits = sum(1 for _ in open(lineage_path))
+    assert main(["embdedup", "--corpus", emb_path, "--output", out_dir,
+                 "--threshold", "0.9", "--chunks", "4"]) == 0
+    assert sum(1 for _ in open(lineage_path)) == n_commits

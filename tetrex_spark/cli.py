@@ -187,12 +187,13 @@ def cmd_analyze(args) -> int:
 
 
 def cmd_dedup(args) -> int:
-    """Resumable near-dup dedup over a corpus: MinHash-LSH pairs through
-    the checkpointed pipeline (a killed run resumes at the first
-    uncommitted stage; re-running a finished one only re-reads), then the
-    connected-components keep-list. Writes pairs/ and keep/ parquet under
-    --output; stage lineage under --checkpoint."""
-    from .lineage import CheckpointedDedup
+    """Resumable near-dup dedup over a corpus: MinHash-LSH (default) or
+    SimHash pairs through the matching checkpointed pipeline (a killed
+    run resumes at the first uncommitted stage; re-running a finished one
+    only re-reads), then the connected-components keep-list. Writes
+    pairs/ and keep/ parquet under --output; stage lineage under
+    --checkpoint."""
+    from .lineage import CheckpointedDedup, CheckpointedSimhashDedup
     from .operators.clusters import dedup_keep_list
 
     from pyspark.sql import functions as F
@@ -202,10 +203,15 @@ def cmd_dedup(args) -> int:
     # the sig/set pipeline keys on int64 ids; string ids (urls) map
     # through xxhash64 (collision odds ~n^2/2^64) and join back below
     keyed = corpus.withColumn("_did", F.xxhash64(F.col(args.id_col)))
-    cd = CheckpointedDedup(
-        args.checkpoint or f"{args.output}/_checkpoint",
-        k=args.k, threshold=args.threshold, n_chunks=args.chunks,
-    )
+    ckpt = args.checkpoint or f"{args.output}/_checkpoint"
+    if args.method == "simhash":
+        cd = CheckpointedSimhashDedup(
+            ckpt, max_hamming=args.max_hamming, n_chunks=args.chunks,
+        )
+    else:
+        cd = CheckpointedDedup(
+            ckpt, k=args.k, threshold=args.threshold, n_chunks=args.chunks,
+        )
     pairs = cd.run(keyed, text_col=args.text_col, id_col="_did")
     pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
     stored = spark.read.parquet(f"{args.output}/pairs")
@@ -219,6 +225,34 @@ def cmd_dedup(args) -> int:
     kept = keep.filter("keep = 1").count()
     total = keep.count()
     print(f"Deduplicated {total} documents: kept {kept}, "
+          f"{stored.count()} near-dup pairs.")
+    return 0
+
+
+def cmd_embdedup(args) -> int:
+    """Resumable embedding near-dup over an embeddings table: hyperplane
+    bucket chunks + packed-BLAS exact-cosine verify through
+    CheckpointedCosineDedup, then the connected-components keep-list.
+    Writes pairs/ and keep/ parquet under --output."""
+    from .lineage import CheckpointedCosineDedup
+    from .operators.clusters import dedup_keep_list
+
+    spark = _spark("embdedup")
+    df = read_corpus(spark, args.corpus)
+    dim = len(df.select(args.vec_col).head()[args.vec_col])
+    cd = CheckpointedCosineDedup(
+        args.checkpoint or f"{args.output}/_checkpoint",
+        dim=dim, threshold=args.threshold, n_chunks=args.chunks,
+    )
+    pairs = cd.run(df, vec_col=args.vec_col, id_col=args.id_col)
+    pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+    stored = spark.read.parquet(f"{args.output}/pairs")
+    keep = dedup_keep_list(
+        df.select(args.id_col), stored, id_col=args.id_col
+    ).withColumnRenamed("id", args.id_col)
+    keep.write.mode("overwrite").parquet(f"{args.output}/keep")
+    kept = keep.filter("keep = 1").count()
+    print(f"Deduplicated {keep.count()} vectors: kept {kept}, "
           f"{stored.count()} near-dup pairs.")
     return 0
 
@@ -275,10 +309,27 @@ def main(argv: list[str] | None = None) -> int:
                      help="stage-lineage dir (default <output>/_checkpoint)")
     pd_.add_argument("--id-col", default="url")
     pd_.add_argument("--text-col", default="text")
-    pd_.add_argument("--k", type=int, default=3)
-    pd_.add_argument("--threshold", type=float, default=0.8)
+    pd_.add_argument("--method", choices=["minhash", "simhash"],
+                     default="minhash")
+    pd_.add_argument("--k", type=int, default=3,
+                     help="minhash shingle width")
+    pd_.add_argument("--threshold", type=float, default=0.8,
+                     help="minhash jaccard threshold")
+    pd_.add_argument("--max-hamming", type=int, default=3,
+                     help="simhash hamming threshold")
     pd_.add_argument("--chunks", type=int, default=8)
     pd_.set_defaults(fn=cmd_dedup)
+
+    pe = sub.add_parser("embdedup")
+    pe.add_argument("--corpus", required=True,
+                    help="embeddings parquet/table: (id, array<float>)")
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--checkpoint", default=None)
+    pe.add_argument("--id-col", default="vec_id")
+    pe.add_argument("--vec-col", default="embedding")
+    pe.add_argument("--threshold", type=float, default=0.9)
+    pe.add_argument("--chunks", type=int, default=8)
+    pe.set_defaults(fn=cmd_embdedup)
 
     args = p.parse_args(argv)
     return args.fn(args)
