@@ -366,7 +366,12 @@ def minhash_lsh_pairs(
     # checkpointed from the still-cached ss in the same breath, so the
     # expansion never re-derives eligibility from text
     rep_pairs = rep_pairs.localCheckpoint(eager=True)
-    elig_ids = ss.select("id").localCheckpoint(eager=True)
+    # (checkpointed from the still-cached ss; skipped entirely for
+    # rep-level output, where eligibility is never consulted)
+    elig_ids = (
+        ss.select("id").localCheckpoint(eager=True)
+        if expand_exact_dups else None
+    )
     for fin in handles:
         fin()
     ss.unpersist()
