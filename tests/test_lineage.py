@@ -227,3 +227,49 @@ def test_checkpointed_cosine_kill_resume_identical(spark, tmp_path):
     assert len(stages) == len(set(stages)) == 5  # 4 bucket chunks + pairs
     with pytest.raises(ValueError, match="stale"):
         CheckpointedCosineDedup(d, dim=16, threshold=0.8, n_chunks=4)
+
+
+def test_shared_checkpoint_dir_pipelines_do_not_collide(
+    spark, dedup_docs, tmp_path
+):
+    """MinHash and SimHash pipelines sharing one checkpoint dir (and two
+    build_ids of one pipeline) write build_id-namespaced artifacts — one
+    pipeline's pairs stage must never overwrite the other's committed
+    artifact (review finding: both used <dir>/rep_pairs)."""
+    from tetrex_spark.lineage import CheckpointedDedup, CheckpointedSimhashDedup
+    from tetrex_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    d = str(tmp_path / "shared_ckpt")
+    mh = CheckpointedDedup(d, threshold=0.7, n_chunks=2)
+    want_mh = _pairs_set(mh.run(dedup_docs))
+    sh = CheckpointedSimhashDedup(d, n_blocks=4, n_chunks=2)
+    want_sh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in sh.run(dedup_docs).collect()
+    }
+    # re-running the MinHash pipeline (all stages committed) must still
+    # read ITS OWN pairs artifact, not the simhash one
+    got_mh = _pairs_set(CheckpointedDedup(d, threshold=0.7, n_chunks=2).run(dedup_docs))
+    assert got_mh == want_mh == _pairs_set(
+        minhash_lsh_pairs(dedup_docs, k=3, threshold=0.7)
+    )
+    got_sh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in CheckpointedSimhashDedup(d, n_blocks=4, n_chunks=2)
+        .run(dedup_docs).collect()
+    }
+    assert got_sh == want_sh == {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(dedup_docs, n_blocks=4).collect()
+    }
+
+
+def test_checkpointed_simhash_invalid_plan_refuses_before_any_work(tmp_path):
+    """max_hamming >= n_blocks must refuse at CONSTRUCTION — not as an
+    uncaught error at the pairs stage after the whole fingerprint pass."""
+    from tetrex_spark.lineage import CheckpointedSimhashDedup
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        CheckpointedSimhashDedup(
+            str(tmp_path / "bad"), max_hamming=6, n_blocks=6
+        )

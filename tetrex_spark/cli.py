@@ -206,7 +206,8 @@ def cmd_dedup(args) -> int:
     ckpt = args.checkpoint or f"{args.output}/_checkpoint"
     if args.method == "simhash":
         cd = CheckpointedSimhashDedup(
-            ckpt, max_hamming=args.max_hamming, n_chunks=args.chunks,
+            ckpt, max_hamming=args.max_hamming, n_blocks=args.n_blocks,
+            n_chunks=args.chunks,
         )
     else:
         cd = CheckpointedDedup(
@@ -239,7 +240,15 @@ def cmd_embdedup(args) -> int:
 
     spark = _spark("embdedup")
     df = read_corpus(spark, args.corpus)
-    dim = len(df.select(args.vec_col).head()[args.vec_col])
+    if args.vec_col not in df.columns:
+        raise SystemExit(
+            f"--vec-col {args.vec_col!r} not in {args.corpus}: "
+            f"columns are {df.columns}"
+        )
+    first = df.select(args.vec_col).head()
+    if first is None or first[args.vec_col] is None:
+        raise SystemExit(f"{args.corpus} is empty — nothing to dedup")
+    dim = len(first[args.vec_col])
     cd = CheckpointedCosineDedup(
         args.checkpoint or f"{args.output}/_checkpoint",
         dim=dim, threshold=args.threshold, n_chunks=args.chunks,
@@ -317,6 +326,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="minhash jaccard threshold")
     pd_.add_argument("--max-hamming", type=int, default=3,
                      help="simhash hamming threshold")
+    pd_.add_argument("--n-blocks", type=int, default=6,
+                     help="simhash pigeonhole blocks (must exceed "
+                          "--max-hamming; validated before any work runs)")
     pd_.add_argument("--chunks", type=int, default=8)
     pd_.set_defaults(fn=cmd_dedup)
 

@@ -183,6 +183,14 @@ class _StagedCheckpoint:
             with open(ppath, "w") as f:
                 f.write(json.dumps(params, sort_keys=True))
 
+    def _apath(self, name: str) -> str:
+        """Artifact path namespaced by build_id: two pipelines (or two
+        build_ids of one pipeline) sharing a checkpoint dir must never
+        overwrite each other's committed artifacts — the params guard
+        says 'use a new build_id or dir', and namespacing makes the
+        build_id half of that advice actually safe."""
+        return f"{self.dir}/{name}_{self.build_id}"
+
     def _lineage_path(self) -> str:
         return f"{self.dir}/{LINEAGE_FILE}"
 
@@ -210,6 +218,54 @@ class _StagedCheckpoint:
                 + "\n"
             )
 
+    # -- shared stage drivers (one skeleton for every pipeline) -----------
+
+    def _chunk_paths(self, name: str) -> list[str]:
+        return [f"{self._apath(name)}/chunk={i}" for i in range(self.n_chunks)]
+
+    def _run_chunk_stages(
+        self, spark: SparkSession, prefix: str, name: str, make_chunk,
+        done: set[str], stop_after: str | None,
+    ) -> bool:
+        """Write each uncommitted chunk stage (`<prefix>:<i>` →
+        `<dir>/<name>_<build_id>/chunk=<i>`) atomically and commit it with
+        row/duration metrics. Returns True when `stop_after` simulated a
+        kill."""
+        for chunk in range(self.n_chunks):
+            stage = f"{prefix}:{chunk}"
+            if stage in done:
+                continue
+            t0 = time.time()
+            path = f"{self._apath(name)}/chunk={chunk}"
+            make_chunk(chunk).write.mode("overwrite").parquet(path)
+            n = spark.read.parquet(path).count()
+            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == stage:
+                return True
+        return False
+
+    def _run_write_stage(
+        self, spark: SparkSession, stage: str, name: str, make_df,
+        done: set[str], stop_after: str | None,
+    ) -> bool:
+        """Write a single whole-output stage (e.g. verified pairs) if not
+        committed. Returns True when `stop_after` simulated a kill."""
+        if stage not in done:
+            t0 = time.time()
+            make_df().write.mode("overwrite").parquet(self._apath(name))
+            n = spark.read.parquet(self._apath(name)).count()
+            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
+            if stop_after == stage:
+                return True
+        return False
+
+    def _chunk_filter(self, df: DataFrame, id_col: str, chunk: int) -> DataFrame:
+        """Deterministic id-space chunking — stable across runs and
+        parallelism, which is what makes resumed stages reproducible."""
+        return df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_chunks)) == chunk
+        )
+
 
 class CheckpointedDedup(_StagedCheckpoint):
     """Resumable MinHash-LSH near-dup pipeline (the dedup counterpart of
@@ -221,10 +277,10 @@ class CheckpointedDedup(_StagedCheckpoint):
                    `n_chunks` deterministic chunks of the rep id space
                    (pmod(xxhash64(id), n_chunks) — stable across runs
                    and parallelism), each written atomically to
-                   `<dir>/sigsets/chunk=<i>/`.
+                   `<dir>/sigsets_<build_id>/chunk=<i>/`.
       pairs        verified rep-level near-dup pairs computed FROM THE
                    STORED sigset chunks (banding + cap + exact-Jaccard
-                   verify), written to `<dir>/rep_pairs/`.
+                   verify), written to `<dir>/rep_pairs_<build_id>/`.
 
     A killed job resumes at the first uncommitted stage; the expanded
     member-level pair list (and any clustering on top — the CC rounds
@@ -259,7 +315,7 @@ class CheckpointedDedup(_StagedCheckpoint):
                 "n_chunks": n_chunks,
             },
             build_id=build_id,
-            subdirs=("sigsets",),
+            subdirs=(f"sigsets_{build_id}",),
         )
 
     # -- stages -----------------------------------------------------------
@@ -287,42 +343,34 @@ class CheckpointedDedup(_StagedCheckpoint):
         spark = df.sparkSession
         docs, reps = dup_groups(df, text_col, id_col)
         done = self.committed() if resume else set()
-        for chunk in range(self.n_chunks):
-            stage = f"sigsets:{chunk}"
-            if stage in done:
-                continue
-            t0 = time.time()
-            part = minhash_sigs_and_sets(
-                reps.filter(
-                    F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_chunks)) == chunk
-                ),
+        if self._run_chunk_stages(
+            spark, "sigsets", "sigsets",
+            lambda chunk: minhash_sigs_and_sets(
+                self._chunk_filter(reps, "id", chunk),
                 self.k, self.num_perm, "txt", "id",
-            )
-            path = f"{self.dir}/sigsets/chunk={chunk}"
-            part.write.mode("overwrite").parquet(path)
-            n = spark.read.parquet(path).count()
-            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
-            if stop_after == stage:
-                return None
-        ss = spark.read.parquet(
-            *[f"{self.dir}/sigsets/chunk={i}" for i in range(self.n_chunks)]
-        )
-        if "pairs" not in (self.committed() if resume else set()):
-            t0 = time.time()
-            handles: list = []
-            rp = verify_rep_pairs(
+            ),
+            done, stop_after,
+        ):
+            return None
+        ss = spark.read.parquet(*self._chunk_paths("sigsets"))
+        handles: list = []
+
+        def make_pairs():
+            return verify_rep_pairs(
                 ss, bands=self.bands, r=self.num_perm // self.bands,
                 threshold=self.threshold, max_bucket=self.max_bucket,
                 release=handles,
             )
-            rp.write.mode("overwrite").parquet(f"{self.dir}/rep_pairs")
-            for fin in handles:
-                fin()
-            n = spark.read.parquet(f"{self.dir}/rep_pairs").count()
-            self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
-            if stop_after == "pairs":
-                return None
-        rep_pairs = spark.read.parquet(f"{self.dir}/rep_pairs")
+
+        killed = self._run_write_stage(
+            spark, "pairs", "rep_pairs", make_pairs,
+            self.committed() if resume else set(), stop_after,
+        )
+        for fin in handles:
+            fin()
+        if killed:
+            return None
+        rep_pairs = spark.read.parquet(self._apath("rep_pairs"))
         if not expand_exact_dups:
             return rep_pairs
         # eligibility comes straight from the STORED sigset chunks (the
@@ -339,10 +387,11 @@ class CheckpointedSimhashDedup(_StagedCheckpoint):
 
       fps:<i>  (id, simhash) fingerprints for the i-th deterministic
                chunk of the id space (pmod(xxhash64(id), n_chunks)),
-               written atomically to `<dir>/fps/chunk=<i>/`.
+               written atomically to `<dir>/fps_<build_id>/chunk=<i>/`.
       pairs    rep-level pairs computed FROM THE STORED fingerprint
                chunks (identical-simhash collapse + pigeonhole blocking
-               + bit_count verify), written to `<dir>/rep_pairs/`.
+               + bit_count verify), written to
+               `<dir>/rep_pairs_<build_id>/`.
 
     The member-level expansion is recomputed lazily from (stored fps,
     stored rep_pairs) — a resumed run is byte-identical to a single-shot
@@ -359,6 +408,13 @@ class CheckpointedSimhashDedup(_StagedCheckpoint):
         n_chunks: int = 8,
         build_id: str = "simhash-0",
     ):
+        # validate the blocking plan BEFORE any stage runs: an invalid
+        # (max_hamming, n_blocks) combination would otherwise surface as
+        # an uncaught ValueError only at the pairs stage — after the
+        # whole (expensive) fingerprint pass was computed and committed
+        from .operators.dedup import simhash_blocking_plan
+
+        simhash_blocking_plan(n_blocks, max_hamming)
         self.max_hamming, self.n_blocks = max_hamming, n_blocks
         self.max_bucket, self.n_chunks = max_bucket, n_chunks
         super().__init__(
@@ -368,7 +424,7 @@ class CheckpointedSimhashDedup(_StagedCheckpoint):
                 "max_bucket": max_bucket, "n_chunks": n_chunks,
             },
             build_id=build_id,
-            subdirs=("fps",),
+            subdirs=(f"fps_{build_id}",),
         )
 
     def run(
@@ -389,40 +445,30 @@ class CheckpointedSimhashDedup(_StagedCheckpoint):
 
         spark = df.sparkSession
         done = self.committed() if resume else set()
-        for chunk in range(self.n_chunks):
-            stage = f"fps:{chunk}"
-            if stage in done:
-                continue
-            t0 = time.time()
-            part = simhash(
-                df.filter(
-                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_chunks))
-                    == chunk
-                ),
-                text_col, id_col,
-            )
-            path = f"{self.dir}/fps/chunk={chunk}"
-            part.write.mode("overwrite").parquet(path)
-            n = spark.read.parquet(path).count()
-            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
-            if stop_after == stage:
-                return None
-        sh = spark.read.parquet(
-            *[f"{self.dir}/fps/chunk={i}" for i in range(self.n_chunks)]
-        )
-        if "pairs" not in (self.committed() if resume else set()):
-            t0 = time.time()
-            rp = simhash_pairs_from_fingerprints(
+        if self._run_chunk_stages(
+            spark, "fps", "fps",
+            lambda chunk: simhash(
+                self._chunk_filter(df, id_col, chunk), text_col, id_col
+            ),
+            done, stop_after,
+        ):
+            return None
+        sh = spark.read.parquet(*self._chunk_paths("fps"))
+
+        def make_pairs():
+            return simhash_pairs_from_fingerprints(
                 sh.persist(), self.max_hamming, n_blocks=self.n_blocks,
                 max_bucket=self.max_bucket, expand_exact_dups=False,
             )
-            rp.write.mode("overwrite").parquet(f"{self.dir}/rep_pairs")
-            sh.unpersist()
-            n = spark.read.parquet(f"{self.dir}/rep_pairs").count()
-            self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
-            if stop_after == "pairs":
-                return None
-        rep_pairs = spark.read.parquet(f"{self.dir}/rep_pairs")
+
+        killed = self._run_write_stage(
+            spark, "pairs", "rep_pairs", make_pairs,
+            self.committed() if resume else set(), stop_after,
+        )
+        sh.unpersist()
+        if killed:
+            return None
+        rep_pairs = spark.read.parquet(self._apath("rep_pairs"))
         if not expand_exact_dups:
             return rep_pairs
         return expand_simhash_rep_pairs(sh, rep_pairs)
@@ -434,11 +480,11 @@ class CheckpointedCosineDedup(_StagedCheckpoint):
 
       buckets:<i>  (id, band, bh) hyperplane-signature rows for the i-th
                    deterministic chunk of the id space, written to
-                   `<dir>/buckets/chunk=<i>/` — the signature matmul is
+                   `<dir>/buckets_<build_id>/chunk=<i>/` — the signature matmul is
                    the per-vector work worth not repeating.
       pairs        exact-cosine-verified pairs from the stored buckets
                    (size-capped band join + packed-BLAS verify against
-                   the corpus), written to `<dir>/pairs/`.
+                   the corpus), written to `<dir>/pairs_<build_id>/`.
 
     The verify stage re-packs corpus blocks from `df` (one linear pass;
     storing the packed matrix would double corpus IO for no compute
@@ -471,7 +517,7 @@ class CheckpointedCosineDedup(_StagedCheckpoint):
                 "block": block, "n_chunks": n_chunks, "seed": seed,
             },
             build_id=build_id,
-            subdirs=("buckets",),
+            subdirs=(f"buckets_{build_id}",),
         )
 
     def run(
@@ -488,43 +534,34 @@ class CheckpointedCosineDedup(_StagedCheckpoint):
 
         spark = df.sparkSession
         done = self.committed() if resume else set()
-        for chunk in range(self.n_chunks):
-            stage = f"buckets:{chunk}"
-            if stage in done:
-                continue
-            t0 = time.time()
-            part = lsh_buckets(
-                df.filter(
-                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_chunks))
-                    == chunk
-                ),
+        if self._run_chunk_stages(
+            spark, "buckets", "buckets",
+            lambda chunk: lsh_buckets(
+                self._chunk_filter(df, id_col, chunk),
                 dim=self.dim, n_planes=self.n_planes, n_bands=self.n_bands,
                 vec_col=vec_col, id_col=id_col, seed=self.seed,
-            )
-            path = f"{self.dir}/buckets/chunk={chunk}"
-            part.write.mode("overwrite").parquet(path)
-            n = spark.read.parquet(path).count()
-            self._commit(stage, rows=n, duration_sec=round(time.time() - t0, 3))
-            if stop_after == stage:
-                return None
-        if "pairs" not in (self.committed() if resume else set()):
-            t0 = time.time()
-            buckets = spark.read.parquet(
-                *[f"{self.dir}/buckets/chunk={i}" for i in range(self.n_chunks)]
-            )
-            handles: list = []
+            ),
+            done, stop_after,
+        ):
+            return None
+        handles: list = []
+
+        def make_pairs():
+            buckets = spark.read.parquet(*self._chunk_paths("buckets"))
             cand = capped_candidate_pairs(
                 buckets, self.max_bucket, release=handles
             )
-            verified = cosine_verify_pairs(
+            return cosine_verify_pairs(
                 df, cand, self.threshold,
                 vec_col=vec_col, id_col=id_col, block=self.block,
             )
-            verified.write.mode("overwrite").parquet(f"{self.dir}/pairs")
-            for fin in handles:
-                fin()
-            n = spark.read.parquet(f"{self.dir}/pairs").count()
-            self._commit("pairs", rows=n, duration_sec=round(time.time() - t0, 3))
-            if stop_after == "pairs":
-                return None
-        return spark.read.parquet(f"{self.dir}/pairs")
+
+        killed = self._run_write_stage(
+            spark, "pairs", "pairs", make_pairs,
+            self.committed() if resume else set(), stop_after,
+        )
+        for fin in handles:
+            fin()
+        if killed:
+            return None
+        return spark.read.parquet(self._apath("pairs"))

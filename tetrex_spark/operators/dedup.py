@@ -195,14 +195,20 @@ def capped_candidate_pairs(
     of the unbounded sum of bucket-size squares (one pathological bucket of
     10^6 members is 5*10^11 pairs). Over-cap buckets are *whole-bucket*
     drops — a pair can still surface via its other bands — and are NEVER
-    silent: with a cap active, ONE size aggregate over the persisted
-    bucket table computes the over-cap list (tiny by construction,
-    <= n*bands/max_bucket rows), which is collected, warn-logged by
-    default, and re-fed as a literal broadcast anti-join side. (An
-    in-plan DataFrame.observe variant was tried first — zero extra jobs —
-    but observed metrics do not propagate when the subtree executes
-    inside the verify's BroadcastExchange, so the drops would go
-    unreported on exactly the main path.) With exact-dup pre-collapse
+    silent: with a cap active, the over-cap bucket list is computed as a
+    size aggregate over the persisted bucket table and stays a
+    DISTRIBUTED, persisted DataFrame end to end — the anti-join against
+    it is part of the candidate plan (hinted, not forced, broadcast;
+    tiny by construction, <= n*bands/max_bucket rows), and the warn-log
+    scalars (count / member rows / largest) are read from its cache in a
+    release finisher AFTER the caller materializes the pairs, so no
+    eager job precedes the plan and nothing bucket-shaped ever reaches
+    the driver. (An in-plan DataFrame.observe variant was tried first —
+    zero extra jobs — but observed metrics do not propagate when the
+    subtree executes inside the verify's BroadcastExchange, so the drops
+    would go unreported on exactly the main path; and an earlier
+    collect-and-reship-literal variant was a driver-memory hazard on
+    pathological corpora.) With exact-dup pre-collapse
     upstream (see minhash_lsh_pairs) an over-cap bucket requires
     > max_bucket *distinct* texts colliding in one band — a genuine giant
     near-dup cluster, which the cap converts from a quadratic join into a
@@ -431,6 +437,61 @@ def verify_rep_pairs(
     )
 
 
+def _expand_pairs(
+    members: DataFrame,
+    rep_map: DataFrame,
+    rep_pairs: DataFrame,
+    value_col: str,
+    intra_value,
+    elig: DataFrame,
+) -> DataFrame:
+    """Shared rep→member pair expansion (the join choreography behind
+    both the MinHash and SimHash paths — one implementation so a fix in
+    one reaches the other): cross-group pairs inherit the
+    representatives' `value_col` (members of a group are exact dups of
+    their rep, so rep-to-rep distance IS member-to-member distance);
+    intra-group pairs get the exact-duplicate constant `intra_value`.
+
+    members: (grp, id) — every document and its exact-dup group key;
+    rep_map: (rid, rgrp) — representative id → group key;
+    elig:    (grp) — groups eligible for intra pairs (size > 1, plus any
+             family-specific eligibility the caller encodes)."""
+    pairs_g = (
+        F.broadcast(rep_pairs)
+        .join(rep_map.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
+        .join(rep_map.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
+        .select("grp_a", "grp_b", value_col)
+    )
+    cross = (
+        members.select(F.col("grp").alias("grp_a"), F.col("id").alias("ia"))
+        .join(F.broadcast(pairs_g), "grp_a")
+        .join(
+            members.select(F.col("grp").alias("grp_b"), F.col("id").alias("ib")),
+            "grp_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            value_col,
+        )
+    )
+    mi = members.join(elig, "grp")
+    xi, yi = mi.alias("xi"), mi.alias("yi")
+    intra = (
+        xi.join(
+            yi,
+            (F.col("xi.grp") == F.col("yi.grp"))
+            & (F.col("xi.id") < F.col("yi.id")),
+        )
+        .select(
+            F.col("xi.id").alias("id_a"),
+            F.col("yi.id").alias("id_b"),
+            F.lit(intra_value).alias(value_col),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def expand_rep_pairs(
     docs: DataFrame, rep_pairs: DataFrame, elig_ids: DataFrame
 ) -> DataFrame:
@@ -455,46 +516,12 @@ def expand_rep_pairs(
     rg = members.groupBy("grp").agg(
         F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
     )
-    grp_of = rg.select("rid", F.col("grp").alias("rgrp"))
-    pairs_g = (
-        F.broadcast(rep_pairs)
-        .join(grp_of.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
-        .join(grp_of.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
-        .select("grp_a", "grp_b", "jaccard")
-    )
-    cross = (
-        members.select(F.col("grp").alias("grp_a"), F.col("id").alias("ia"))
-        .join(F.broadcast(pairs_g), "grp_a")
-        .join(
-            members.select(F.col("grp").alias("grp_b"), F.col("id").alias("ib")),
-            "grp_b",
-        )
-        .select(
-            F.least("ia", "ib").alias("id_a"),
-            F.greatest("ia", "ib").alias("id_b"),
-            "jaccard",
-        )
-    )
-    # intra-group pairs: exact duplicates (jaccard 1.0) within groups of
-    # size > 1 whose representative is shingle-eligible
+    rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
+    # intra eligibility: groups of size > 1 whose rep is shingle-eligible
     elig = rg.filter(F.col("csize") > 1).join(
         elig_ids.select(F.col(elig_ids.columns[0]).alias("rid")), "rid"
     ).select("grp")
-    mi = members.join(elig, "grp")
-    xi, yi = mi.alias("xi"), mi.alias("yi")
-    intra = (
-        xi.join(
-            yi,
-            (F.col("xi.grp") == F.col("yi.grp"))
-            & (F.col("xi.id") < F.col("yi.id")),
-        )
-        .select(
-            F.col("xi.id").alias("id_a"),
-            F.col("yi.id").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(intra)
+    return _expand_pairs(members, rep_map, rep_pairs, "jaccard", 1.0, elig)
 
 
 # -- simhash -----------------------------------------------------------------
@@ -693,44 +720,12 @@ def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     hamming (equal simhash => equal distance to everything); intra-group
     pairs are hamming 0. Integer shuffles only; shared by the batch path
     and the checkpointed pipeline's resume leg (which reads `sh` and
-    `rep_pairs` straight from stored chunks)."""
-    groups = sh.groupBy("simhash").agg(
-        F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
-    )
+    `rep_pairs` straight from stored chunks). Join choreography lives in
+    _expand_pairs (one implementation for both dedup families)."""
     members = sh.select(F.col("simhash").alias("grp"), "id")
-    rg = groups.select(F.col("id").alias("rid"), F.col("simhash").alias("rgrp"))
-    pairs_g = (
-        F.broadcast(rep_pairs)
-        .join(rg.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
-        .join(rg.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
-        .select("grp_a", "grp_b", "hamming")
+    rg = members.groupBy("grp").agg(
+        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
     )
-    cross = (
-        members.select(F.col("grp").alias("grp_a"), F.col("id").alias("ia"))
-        .join(F.broadcast(pairs_g), "grp_a")
-        .join(
-            members.select(F.col("grp").alias("grp_b"), F.col("id").alias("ib")),
-            "grp_b",
-        )
-        .select(
-            F.least("ia", "ib").alias("id_a"),
-            F.greatest("ia", "ib").alias("id_b"),
-            "hamming",
-        )
-    )
-    elig = groups.filter(F.col("csize") > 1).select(F.col("simhash").alias("grp"))
-    mi = members.join(elig, "grp")
-    xi, yi = mi.alias("xi"), mi.alias("yi")
-    intra = (
-        xi.join(
-            yi,
-            (F.col("xi.grp") == F.col("yi.grp"))
-            & (F.col("xi.id") < F.col("yi.id")),
-        )
-        .select(
-            F.col("xi.id").alias("id_a"),
-            F.col("yi.id").alias("id_b"),
-            F.lit(0).alias("hamming"),
-        )
-    )
-    return cross.unionByName(intra)
+    rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
+    elig = rg.filter(F.col("csize") > 1).select("grp")
+    return _expand_pairs(members, rep_map, rep_pairs, "hamming", 0, elig)

@@ -86,6 +86,26 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
         else:
             ids = np.zeros(0, dtype=np.int64)
             fps = np.zeros(0, dtype=np.int64)
+        def _pairs_between(aids, afps, bids, bfps):
+            """Emit (a, b) cross pairs at hamming <= max_hamming — one
+            bounded XOR-popcount matrix."""
+            d = popcount64(
+                np.bitwise_xor(
+                    afps.view(np.uint64)[:, None], bfps.view(np.uint64)[None, :]
+                )
+            ).reshape(aids.size, bids.size)
+            ai, bi = np.nonzero(
+                (d <= max_hamming) & (aids[:, None] != bids[None, :])
+            )
+            if ai.size:
+                _emit(aids[ai], bids[bi], d[ai, bi], frames)
+
+        # strip width bounds the transient matrices at TILE x
+        # max(TILE, max_per_key) int64 regardless of chunk size — a giant
+        # near-dup cluster routing a 100k-row chunk into one bucket must
+        # not allocate an O(n_chunk^2) matrix (the cap bounds STATE, not
+        # arrivals)
+        TILE = 1024
         frames: list[pd.DataFrame] = []
         for pdf in pdfs:
             if pdf.empty:
@@ -95,33 +115,32 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
             pdf = pdf.sort_values("id")
             nids = pdf["id"].to_numpy(np.int64)
             nfps = pdf["simhash"].to_numpy(np.int64)
-            # one XOR-popcount MATRIX per chunk, not a Python loop per row
-            if ids.size:
-                d = popcount64(
-                    np.bitwise_xor(
-                        nfps.view(np.uint64)[:, None], fps.view(np.uint64)[None, :]
-                    )
-                ).reshape(nids.size, ids.size)
-                ni, si = np.nonzero(
-                    (d <= max_hamming) & (nids[:, None] != ids[None, :])
-                )
-                if ni.size:
-                    _emit(nids[ni], ids[si], d[ni, si], frames)
-            # arrivals vs EARLIER arrivals of the same chunk — including
-            # overflow arrivals that will never be stored (a capped bucket
-            # still pairs its own batch's members with each other)
-            if nids.size > 1:
-                dnn = popcount64(
-                    np.bitwise_xor(
-                        nfps.view(np.uint64)[:, None],
-                        nfps.view(np.uint64)[None, :],
-                    )
-                ).reshape(nids.size, nids.size)
-                ii, jj = np.triu_indices(nids.size, k=1)
-                keep = (dnn[ii, jj] <= max_hamming) & (nids[ii] != nids[jj])
-                ii, jj = ii[keep], jj[keep]
-                if ii.size:
-                    _emit(nids[ii], nids[jj], dnn[ii, jj], frames)
+            seen: list[tuple[np.ndarray, np.ndarray]] = []
+            for s in range(0, nids.size, TILE):
+                aids = nids[s : s + TILE]
+                afps = nfps[s : s + TILE]
+                # vs the state as of chunk start (bounded by max_per_key)
+                if ids.size:
+                    _pairs_between(aids, afps, ids, fps)
+                # vs EARLIER arrivals of the same chunk — including
+                # overflow arrivals that will never be stored (a capped
+                # bucket still pairs its own batch's members)
+                for pids, pfps in seen:
+                    _pairs_between(aids, afps, pids, pfps)
+                # intra-strip upper triangle
+                if aids.size > 1:
+                    dnn = popcount64(
+                        np.bitwise_xor(
+                            afps.view(np.uint64)[:, None],
+                            afps.view(np.uint64)[None, :],
+                        )
+                    ).reshape(aids.size, aids.size)
+                    ii, jj = np.triu_indices(aids.size, k=1)
+                    keep = (dnn[ii, jj] <= max_hamming) & (aids[ii] != aids[jj])
+                    ii, jj = ii[keep], jj[keep]
+                    if ii.size:
+                        _emit(aids[ii], aids[jj], dnn[ii, jj], frames)
+                seen.append((aids, afps))
             # store in arrival order while room remains (oldest kept)
             room = max_per_key - ids.size
             if room > 0:
