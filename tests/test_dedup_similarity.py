@@ -602,3 +602,45 @@ def test_simhash_adaptive_width_seam_pairs_identical(spark):
     # every planted pair found (xor mask 0b10100000001 has popcount 3)
     want = {(i, i + 10_000_000, 3) for i in range(40)}
     assert want <= results[4]
+
+
+def test_hyperplane_lsh_params_planner(spark, vectors):
+    """Closed-form (n_planes, n_bands): analytic recall at the threshold
+    meets the target, more selective regimes get more planes, the
+    moderate-threshold regime refuses, and the planned parameters reach
+    full recall on planted near-dups end-to-end."""
+    import math
+
+    from tetrex_spark.operators.similarity import (
+        hyperplane_lsh_params,
+        hyperplane_lsh_pairs,
+    )
+
+    def analytic_recall(t, planes, bands):
+        p = (1 - math.acos(t) / math.pi) ** planes
+        return 1 - (1 - p) ** bands
+
+    for t, r in [(0.9, 0.999), (0.95, 0.9999), (0.85, 0.99)]:
+        planes, bands = hyperplane_lsh_params(t, r)
+        assert analytic_recall(t, planes, bands) >= r
+        assert bands <= 64
+    # higher threshold supports more selective blocking at equal recall
+    p_hi, _ = hyperplane_lsh_params(0.97, 0.999)
+    p_lo, _ = hyperplane_lsh_params(0.85, 0.999)
+    assert p_hi >= p_lo
+    # moderate-threshold regime: no plane count can prune — refuse
+    with pytest.raises(ValueError, match="cosine_pairs_blocked"):
+        hyperplane_lsh_params(0.4, 0.999, max_bands=64)
+    # end-to-end: planner's parameters recover every planted pair
+    df, pdf = vectors
+    planes, bands = hyperplane_lsh_params(0.9, 0.999)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_pairs(
+            df, dim=16, n_planes=planes, n_bands=bands, threshold=0.9
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]) for r in cosine_pairs_exact(df, 0.9).collect()
+    }
+    assert exact and got == exact

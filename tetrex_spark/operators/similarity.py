@@ -556,6 +556,48 @@ def cosine_verify_pairs(
     )
 
 
+def hyperplane_lsh_params(
+    threshold: float,
+    recall: float = 0.999,
+    *,
+    max_bands: int = 64,
+    max_candidate_rate: float = 0.05,
+) -> tuple[int, int]:
+    """Closed-form (n_planes, n_bands) for hyperplane LSH: the most
+    SELECTIVE plane count whose band budget still guarantees the target
+    recall at the threshold, AND whose spurious-candidate rate (the
+    probability an ORTHOGONAL pair shares some bucket, ~1-(1-0.5^P)^b)
+    stays under max_candidate_rate — without the second bound the
+    moderate-threshold regime 'succeeds' with a plan that makes nearly
+    every pair a candidate.
+
+    P(same bucket | cosine c) per band = (1 - arccos(c)/pi)^n_planes;
+    recall over b bands = 1 - (1 - p)^b, worst case at c = threshold.
+    More planes = exponentially fewer spurious candidates but more bands
+    for the same recall — so walk n_planes downward until the required
+    band count fits max_bands. Raises when no plane count satisfies both
+    bounds (use cosine_pairs_blocked there; blocking cannot prune)."""
+    import math
+
+    if not (0.0 < threshold < 1.0 and 0.0 < recall < 1.0):
+        raise ValueError("need 0 < threshold < 1 and 0 < recall < 1")
+    p_plane = 1.0 - math.acos(threshold) / math.pi
+    for n_planes in range(24, 0, -1):
+        p = p_plane ** n_planes
+        if p >= 1.0:  # degenerate (threshold ~ 1)
+            return n_planes, 1
+        b = math.ceil(math.log1p(-recall) / math.log1p(-p))
+        fp = 1.0 - (1.0 - 0.5 ** n_planes) ** b
+        if b <= max_bands and fp <= max_candidate_rate:
+            return n_planes, b
+    raise ValueError(
+        f"no hyperplane blocking meets recall {recall} at threshold "
+        f"{threshold} within {max_bands} bands and candidate rate "
+        f"{max_candidate_rate} — blocking cannot prune in this regime; "
+        "use cosine_pairs_blocked"
+    )
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     *,
