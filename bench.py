@@ -158,6 +158,51 @@ def main() -> None:
         lambda: entrymod.queries()["hyperplane_pairs_t90"](spark, sf_dir).count(),
     )
 
+    # streaming SimHash near-dup gate: the corpus's fingerprints fed as 4
+    # micro-batches through the applyInPandasWithState bucket operator —
+    # the cross-batch stateful path a batch join can't express. Single
+    # shot (stateful streams have no warm re-run), so the figure carries
+    # the ~1-2 s streaming-query startup alongside per-batch work.
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.operators.dedup import simhash as _simhash_fp
+    from tetrex_spark.streaming.simhash_stream import streaming_simhash_pairs
+
+    import shutil as _sh
+    import tempfile as _tf
+
+    sdir = _tf.mkdtemp(prefix="tetrex_stream_bench_")
+    try:
+        fps = _simhash_fp(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "text", "doc_id"
+        ).withColumn("b", F.pmod(F.col("id"), F.lit(4)))
+        for b in range(4):
+            # one file per micro-batch so maxFilesPerTrigger=1 gives
+            # exactly 4 cross-batch state transitions
+            fps.filter(F.col("b") == b).select("id", "simhash").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{sdir}/in/batch={b}")
+        t0 = time.time()
+        stream = spark.readStream.schema("id long, simhash long").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{sdir}/in/batch=*")
+        q = (
+            streaming_simhash_pairs(stream, max_hamming=3, n_blocks=4)
+            .writeStream.format("parquet")
+            .option("path", f"{sdir}/out")
+            .option("checkpointLocation", f"{sdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        times["streaming_simhash_gate"] = round(time.time() - t0, 3)
+        rows["streaming_simhash_gate"] = int(
+            spark.read.parquet(f"{sdir}/out").count()
+        )
+    finally:
+        _sh.rmtree(sdir, ignore_errors=True)
+
     # CLI dedup end-to-end (the checkpointed MinHash pipeline + CC keep
     # list behind `tetrex_spark dedup`), plus a resume leg over the same
     # checkpoint: the resume re-reads committed stages only, so the delta

@@ -615,7 +615,9 @@ def hyperplane_lsh_pairs(
 
     P(same bucket | angle θ) = (1 - θ/π)^n_planes per band; recall over
     b bands is 1-(1-p)^b — blocking is probabilistic (tunable), and the
-    exact cosine verify keeps precision at 1. Parameter regimes:
+    exact cosine verify keeps precision at 1. Use hyperplane_lsh_params
+    to derive (n_planes, n_bands) from a (threshold, recall) target in
+    closed form. Parameter regimes:
 
       - high threshold (>= 0.9, the true near-dup regime): the default
         12 planes x 8 bands — selective buckets, ~0.999+ recall at 0.95.
