@@ -183,14 +183,17 @@ def q_jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> per-doc cluster assignment + keep flag:
     large-star/small-star connected components (operators/clusters.py)
-    over the MinHash-LSH pair list; oracle = recursive-CTE transitive
-    closure of the exact-Jaccard pair graph."""
+    over the MinHash-LSH graph; oracle = recursive-CTE transitive
+    closure of the exact-Jaccard pair graph. CC consumes
+    minhash_lsh_edges (rep-level pairs + member->rep star edges — same
+    components, LINEAR edge count) rather than the member-level pair
+    list, which is quadratic in exact-dup cluster sizes."""
     from tetrex_spark.operators.clusters import dedup_keep_list
-    from tetrex_spark.operators.dedup import minhash_lsh_pairs
+    from tetrex_spark.operators.dedup import minhash_lsh_edges
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, k=JACCARD_K, threshold=JACCARD_T)
-    return dedup_keep_list(docs, pairs)
+    edges = minhash_lsh_edges(docs, k=JACCARD_K, threshold=JACCARD_T)
+    return dedup_keep_list(docs, edges)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,7 +572,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB query."""
     from tetrex_spark.functions.analysis import pii_scrub, repetition_quality
     from tetrex_spark.operators.clusters import dedup_keep_list
-    from tetrex_spark.operators.dedup import minhash_lsh_pairs
+    from tetrex_spark.operators.dedup import minhash_lsh_edges
 
     docs = _docs(spark, sf_dir)
     quality = repetition_quality(docs).select(
@@ -579,7 +582,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")).alias("n_pii"),
     )
-    pairs = minhash_lsh_pairs(docs, k=JACCARD_K, threshold=JACCARD_T)
+    pairs = minhash_lsh_edges(docs, k=JACCARD_K, threshold=JACCARD_T)
     dup = dedup_keep_list(docs, pairs).select(
         "id", F.col("keep").alias("dup_keep")
     )

@@ -79,3 +79,40 @@ def test_keep_list_covers_unpaired_docs(spark):
     keep = dedup_keep_list(docs, pairs)
     per = keep.groupBy("component").agg(F.sum("keep").alias("k")).collect()
     assert all(r.k == 1 for r in per)
+
+
+def test_minhash_edges_components_equal_pair_components(spark):
+    """minhash_lsh_edges (rep pairs + member->rep stars, LINEAR) must
+    yield the same connected components as the full member-level pair
+    list (quadratic in dup-cluster sizes) — including on the skewed
+    boilerplate shape, and excluding shingle-ineligible groups."""
+    from tetrex_spark.operators.clusters import connected_components
+    from tetrex_spark.operators.dedup import minhash_lsh_edges, minhash_lsh_pairs
+
+    boiler = ("this site uses cookies to improve your experience accept "
+              "all cookies to continue reading the page")
+    rows = [(i, boiler) for i in range(300)]
+    near = boiler.split(); near[-1] = "content"
+    rows.append((5000, " ".join(near)))
+    for j in range(7):
+        rows.append((6000 + j,
+                     f"unrelated document {j} about columnar engines {j}"))
+    # a shingle-INELIGIBLE exact-dup group (< 3 tokens): no pairs at all
+    rows.append((7000, "too short"))
+    rows.append((7001, "too short"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def comps(pairs):
+        c = connected_components(pairs).collect()
+        return {r["id"]: r["component"] for r in c}
+
+    got = comps(minhash_lsh_edges(df, k=3, threshold=0.7))
+    want = comps(minhash_lsh_pairs(df, k=3, threshold=0.7))
+    assert got == want
+    # the boilerplate cluster + near-dup all collapse to component 0
+    assert want and all(want[i] == 0 for i in list(range(300)) + [5000])
+    assert 7000 not in want and 7001 not in want  # ineligible: no edges
+    # and the edge list is linear, not quadratic: 300-copy cluster
+    # contributes 299 star edges, not C(300,2) pairs
+    n_edges = minhash_lsh_edges(df, k=3, threshold=0.7).count()
+    assert n_edges <= 310

@@ -96,14 +96,32 @@ def connected_components(
         ).collect()[0]
         return (row.n, row.h)
 
-    # lazy localCheckpoint: the _sig aggregate right after is the
-    # materializing action, so each round costs exactly one job while
-    # still truncating the iterative lineage
-    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
+    # per-round lazy localCheckpoint: the _sig aggregate right after is
+    # the materializing action, so each round costs exactly one job while
+    # still truncating the iterative lineage. The INITIAL checkpoint is
+    # eager: a lazy one over an input plan that itself contains
+    # checkpointed branches (e.g. minhash_lsh_edges' union of a
+    # checkpointed rep-pair frame with derived star edges) trips an AQE
+    # attribute-resolution bug in this Spark (NoSuchElementException:
+    # key not found during localCheckpoint planning).
+    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
     sig = _sig(edges)
     for _ in range(max_iter):
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        new_sig = _sig(new)
+        try:
+            new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            new_sig = _sig(new)
+        except Exception as ex:  # pragma: no cover - Spark-version quirk
+            if "NoSuchElementException" not in str(ex):
+                raise
+            # Spark 4.1 AQE bug: when the checkpointed edge frame's
+            # attributes descend from certain checkpointed-union inputs,
+            # re-planning a derived localCheckpoint dies with
+            # 'NoSuchElementException: key not found <attr>'. Re-wrap the
+            # (already materialized) checkpoint through an RDD round-trip
+            # to mint fresh attributes, then retry the round.
+            edges = edges.sparkSession.createDataFrame(edges.rdd, edges.schema)
+            new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            new_sig = _sig(new)
         edges = new
         if new_sig == sig:
             break

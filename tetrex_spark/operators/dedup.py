@@ -352,6 +352,29 @@ def minhash_lsh_pairs(
 
     md5 collision risk for the pre-collapse is ~n^2/2^128 — far below the
     shingle-hash collision tolerance minhash itself assumes."""
+    docs, rep_pairs, elig_ids = _minhash_rep_level(
+        df, k, num_perm, bands, threshold, text_col, id_col, max_bucket,
+        with_elig=expand_exact_dups,
+    )
+    if not expand_exact_dups:
+        return rep_pairs
+    # 5. expand representative pairs to member pairs (integer shuffles
+    # only — see expand_rep_pairs)
+    return expand_rep_pairs(docs, rep_pairs, elig_ids)
+
+
+def _minhash_rep_level(
+    df, k, num_perm, bands, threshold, text_col, id_col, max_bucket,
+    *, with_elig: bool,
+):
+    """Steps 1-4 of minhash_lsh_pairs (pre-collapse, fused sig+set pass,
+    capped blocking, exact verify), shared with minhash_lsh_edges.
+    Returns (docs, checkpointed rep_pairs, checkpointed elig_ids-or-None):
+    rep pairs are tiny (candidate-bounded) and materialized so every
+    intermediate cache can be released before return; the
+    shingle-eligible rep ids (one int per rep with >= k tokens — exactly
+    the rows ss holds) are checkpointed from the still-cached ss in the
+    same breath, so no consumer ever re-derives eligibility from text."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
@@ -364,28 +387,58 @@ def minhash_lsh_pairs(
     rep_pairs = verify_rep_pairs(
         ss, bands=bands, r=r, threshold=threshold, max_bucket=max_bucket,
         release=handles,
-    )
-    # rep pairs are tiny (candidate-bounded); materialize them so every
-    # intermediate cache can be released NOW instead of leaking cached
-    # blocks across repeated calls. The shingle-eligible rep ids (one
-    # int per rep with >= k tokens — exactly the rows ss holds) are
-    # checkpointed from the still-cached ss in the same breath, so the
-    # expansion never re-derives eligibility from text
-    rep_pairs = rep_pairs.localCheckpoint(eager=True)
-    # (checkpointed from the still-cached ss; skipped entirely for
-    # rep-level output, where eligibility is never consulted)
+    ).localCheckpoint(eager=True)
     elig_ids = (
-        ss.select("id").localCheckpoint(eager=True)
-        if expand_exact_dups else None
+        ss.select("id").localCheckpoint(eager=True) if with_elig else None
     )
     for fin in handles:
         fin()
     ss.unpersist()
-    if not expand_exact_dups:
-        return rep_pairs
-    # 5. expand representative pairs to member pairs (integer shuffles
-    # only — see expand_rep_pairs)
-    return expand_rep_pairs(docs, rep_pairs, elig_ids)
+    return docs, rep_pairs, elig_ids
+
+
+def minhash_lsh_edges(
+    df: DataFrame, k: int = 3, num_perm: int = 128, bands: int = 32,
+    threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int | None = 512,
+) -> DataFrame:
+    """(id_a, id_b) edge list whose connected components EQUAL those of
+    minhash_lsh_pairs(df, ...): the rep-level near-dup pairs plus one
+    member->representative star edge per exact duplicate (shingle-
+    eligible groups only — groups whose text has < k tokens produce no
+    pairs at all, matching the pair list's semantics).
+
+    This is the input a clustering/keep-list pipeline should consume at
+    scale: the member-level pair list is QUADRATIC in exact-dup cluster
+    sizes (a 10^6-copy boilerplate cluster is 5*10^11 intra pairs), but
+    connected components only need connectivity, and a star reaches the
+    same components with ONE edge per member. Use with
+    clusters.connected_components / dedup_keep_list; keep
+    minhash_lsh_pairs for consumers that need the actual pair list with
+    jaccard values."""
+    docs, rep_pairs, elig_ids = _minhash_rep_level(
+        df, k, num_perm, bands, threshold, text_col, id_col, max_bucket,
+        with_elig=True,
+    )
+    members = docs.select("grp", "id")
+    rg = members.groupBy("grp").agg(
+        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
+    )
+    elig_groups = rg.filter(F.col("csize") > 1).join(
+        elig_ids.select(F.col("id").alias("rid")), "rid"
+    ).select("grp", "rid")
+    star = (
+        members.join(elig_groups, "grp")
+        .where(F.col("id") != F.col("rid"))
+        .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    # star branch FIRST: with the checkpointed rep_pairs frame as the
+    # union's left (attribute-defining) branch, this Spark's AQE fails to
+    # re-plan derived localCheckpoints downstream (NoSuchElementException:
+    # key not found <attr> — hit by connected_components' round
+    # checkpoints); fresh star-side attributes avoid it, and
+    # connected_components additionally carries a re-wrap fallback.
+    return star.unionByName(rep_pairs.select("id_a", "id_b"))
 
 
 def dup_groups(
