@@ -116,3 +116,36 @@ def test_minhash_edges_components_equal_pair_components(spark):
     # contributes 299 star edges, not C(300,2) pairs
     n_edges = minhash_lsh_edges(df, k=3, threshold=0.7).count()
     assert n_edges <= 310
+
+
+def test_simhash_edges_components_equal_pair_components(spark):
+    """simhash_edges_from_fingerprints (rep pairs + stars) yields the
+    same components as the member-level simhash pair list, with a linear
+    edge count on a skewed identical-fingerprint cluster."""
+    from tetrex_spark.operators.clusters import connected_components
+    from tetrex_spark.operators.dedup import (
+        simhash_edges_from_fingerprints,
+        simhash_pairs_from_fingerprints,
+    )
+
+    base = 0x0123456789ABCDEF
+    rows = [(i, base) for i in range(400)]          # 400-copy cluster
+    rows.append((5000, base ^ 0b101))               # hamming-2 neighbor
+    rows.append((6000, -1))                         # isolated
+    rows.append((7000, 0x7EDCBA9876543210))
+    rows.append((7001, 0x7EDCBA9876543210 ^ 0b1))   # small pair
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+
+    def comps(pairs):
+        return {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+
+    got = comps(simhash_edges_from_fingerprints(sh, n_blocks=4))
+    want = comps(simhash_pairs_from_fingerprints(sh, n_blocks=4))
+    assert got == want
+    assert all(want[i] == 0 for i in list(range(400)) + [5000])
+    assert want[7001] == 7000 and 6000 not in want
+    n_edges = simhash_edges_from_fingerprints(sh, n_blocks=4).count()
+    assert n_edges <= 402  # 399 stars + cross pair + small pair

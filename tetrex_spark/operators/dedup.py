@@ -767,6 +767,34 @@ def simhash_pairs_from_fingerprints(
     return expand_simhash_rep_pairs(sh, rep_pairs)
 
 
+def simhash_edges_from_fingerprints(
+    sh: DataFrame, max_hamming: int = 3, *, n_blocks: int | None = 6,
+    max_bucket: int | None = 512,
+) -> DataFrame:
+    """(id_a, id_b) edge list whose connected components EQUAL those of
+    simhash_pairs_from_fingerprints(sh, ...): rep-level pairs plus one
+    member->representative star edge per identical-fingerprint duplicate —
+    the SimHash counterpart of minhash_lsh_edges (linear in corpus size
+    where the member-level pair list is quadratic in dup-cluster sizes;
+    connected components only need connectivity). Same fresh-attribute
+    branch ordering as minhash_lsh_edges (Spark 4.1 AQE checkpoint
+    quirk)."""
+    rep_pairs = simhash_pairs_from_fingerprints(
+        sh, max_hamming, n_blocks=n_blocks, max_bucket=max_bucket,
+        expand_exact_dups=False,
+    )
+    members = sh.select(F.col("simhash").alias("grp"), "id")
+    rg = members.groupBy("grp").agg(
+        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
+    )
+    star = (
+        members.join(rg.filter(F.col("csize") > 1).select("grp", "rid"), "grp")
+        .where(F.col("id") != F.col("rid"))
+        .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return star.unionByName(rep_pairs.select("id_a", "id_b"))
+
+
 def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     """Expand rep-level SimHash pairs to member pairs from a fingerprint
     table (id, simhash): cross-group pairs inherit the representatives'
