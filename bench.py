@@ -179,9 +179,14 @@ def main() -> None:
 
     sdir = _tf.mkdtemp(prefix="tetrex_stream_bench_")
     try:
+        # materialize the fingerprint pass ONCE — the 4 filtered writes
+        # below would otherwise re-run the full-corpus simhash kernel
+        # each time
         fps = _simhash_fp(
             spark.read.parquet(f"{sf_dir}/documents.parquet"), "text", "doc_id"
-        ).withColumn("b", F.pmod(F.col("id"), F.lit(4)))
+        ).withColumn("b", F.pmod(F.col("id"), F.lit(4))).localCheckpoint(
+            eager=True
+        )
         for b in range(4):
             # one file per micro-batch so maxFilesPerTrigger=1 gives
             # exactly 4 cross-batch state transitions
@@ -201,11 +206,21 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        pipelines["streaming_simhash_gate"] = round(time.time() - t0, 3)
-        rows["streaming_simhash_gate"] = int(
-            spark.read.parquet(f"{sdir}/out").count()
-        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            # stalled stream: stop it BEFORE the dir teardown (a live
+            # query over deleted checkpoint/input dirs throws
+            # FileNotFound into the shared session while later entries
+            # run) and record the entry as failed rather than a bogus
+            # ~300 s "success"
+            q.stop()
+            pipelines["streaming_simhash_gate"] = -1.0
+            rows["streaming_simhash_gate"] = -1
+        else:
+            pipelines["streaming_simhash_gate"] = round(time.time() - t0, 3)
+            rows["streaming_simhash_gate"] = int(
+                spark.read.parquet(f"{sdir}/out").count()
+            )
     finally:
         _sh.rmtree(sdir, ignore_errors=True)
 

@@ -149,3 +149,44 @@ def test_simhash_edges_components_equal_pair_components(spark):
     assert want[7001] == 7000 and 6000 not in want
     n_edges = simhash_edges_from_fingerprints(sh, n_blocks=4).count()
     assert n_edges <= 402  # 399 stars + cross pair + small pair
+
+
+def test_cc_rewrap_fallback_on_poisoned_checkpoint_input(spark):
+    """connected_components must survive the Spark 4.1 AQE quirk where a
+    union whose attribute-defining branch is a checkpointed frame makes
+    derived localCheckpoints fail to re-plan (NoSuchElementException):
+    the round loop's re-wrap fallback mints fresh attributes and
+    completes. Constructed here with the checkpointed branch FIRST (the
+    shape minhash_lsh_edges deliberately avoids)."""
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.operators.clusters import connected_components
+    from tetrex_spark.operators.dedup import _minhash_rep_level
+
+    boiler = ("this site uses cookies to improve your experience accept "
+              "all cookies to continue reading the page")
+    rows = [(i, boiler) for i in range(50)]
+    rows += [(6000 + j, f"unrelated doc {j} about columnar engines {j}")
+             for j in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs, rep_pairs, elig_ids = _minhash_rep_level(
+        df, 3, 128, 32, 0.7, "text", "doc_id", 512, with_elig=True,
+    )
+    members = docs.select("grp", "id")
+    rg = members.groupBy("grp").agg(
+        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
+    )
+    eg = rg.filter(F.col("csize") > 1).join(
+        elig_ids.select(F.col("id").alias("rid")), "rid"
+    )
+    star = (
+        members.join(eg.select("grp", "rid"), "grp")
+        .where(F.col("id") != F.col("rid"))
+        .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    poisoned = rep_pairs.select("id_a", "id_b").unionByName(star)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(poisoned).collect()
+    }
+    assert comp and all(comp[i] == 0 for i in range(50))

@@ -96,15 +96,12 @@ def connected_components(
         ).collect()[0]
         return (row.n, row.h)
 
-    # per-round lazy localCheckpoint: the _sig aggregate right after is
-    # the materializing action, so each round costs exactly one job while
-    # still truncating the iterative lineage. The INITIAL checkpoint is
-    # eager: a lazy one over an input plan that itself contains
-    # checkpointed branches (e.g. minhash_lsh_edges' union of a
-    # checkpointed rep-pair frame with derived star edges) trips an AQE
-    # attribute-resolution bug in this Spark (NoSuchElementException:
-    # key not found during localCheckpoint planning).
-    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the _sig aggregate right after is the
+    # materializing action, so each round costs exactly one job while
+    # still truncating the iterative lineage (inputs that trip the AQE
+    # checkpoint-replanning quirk are handled by the round loop's
+    # re-wrap fallback below)
+    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
     sig = _sig(edges)
     for _ in range(max_iter):
         try:

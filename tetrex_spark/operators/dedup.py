@@ -421,16 +421,8 @@ def minhash_lsh_edges(
         with_elig=True,
     )
     members = docs.select("grp", "id")
-    rg = members.groupBy("grp").agg(
-        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
-    )
-    elig_groups = rg.filter(F.col("csize") > 1).join(
+    elig_groups = _rep_groups(members).filter(F.col("csize") > 1).join(
         elig_ids.select(F.col("id").alias("rid")), "rid"
-    ).select("grp", "rid")
-    star = (
-        members.join(elig_groups, "grp")
-        .where(F.col("id") != F.col("rid"))
-        .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
     )
     # star branch FIRST: with the checkpointed rep_pairs frame as the
     # union's left (attribute-defining) branch, this Spark's AQE fails to
@@ -438,7 +430,9 @@ def minhash_lsh_edges(
     # key not found <attr> — hit by connected_components' round
     # checkpoints); fresh star-side attributes avoid it, and
     # connected_components additionally carries a re-wrap fallback.
-    return star.unionByName(rep_pairs.select("id_a", "id_b"))
+    return _star_edges(members, elig_groups).unionByName(
+        rep_pairs.select("id_a", "id_b")
+    )
 
 
 def dup_groups(
@@ -487,6 +481,27 @@ def verify_rep_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _rep_groups(members: DataFrame) -> DataFrame:
+    """(grp, rid, csize) from a (grp, id) membership table — integers
+    only: min(id) is the same representative dup_groups elects, csize
+    the member count. Shared by the pair-expansion and edge-list paths
+    (one derivation; a semantics fix reaches every consumer)."""
+    return members.groupBy("grp").agg(
+        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
+    )
+
+
+def _star_edges(members: DataFrame, elig_groups: DataFrame) -> DataFrame:
+    """(id_a=rep, id_b=member) — one edge per non-representative member
+    of each eligible group: the LINEAR connectivity equivalent of the
+    quadratic intra-group pair expansion."""
+    return (
+        members.join(elig_groups.select("grp", "rid"), "grp")
+        .where(F.col("id") != F.col("rid"))
+        .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
     )
 
 
@@ -564,11 +579,7 @@ def expand_rep_pairs(
     the exact oracle; callers pass the (tiny, checkpointed) id column of
     the sig/set table rather than re-deriving the predicate from text."""
     members = docs.select("grp", "id")
-    # (grp, rid, csize) from integers only — min(id) is the same rep
-    # dup_groups elects, csize the same member count
-    rg = members.groupBy("grp").agg(
-        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
-    )
+    rg = _rep_groups(members)
     rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
     # intra eligibility: groups of size > 1 whose rep is shingle-eligible
     elig = rg.filter(F.col("csize") > 1).join(
@@ -779,20 +790,20 @@ def simhash_edges_from_fingerprints(
     connected components only need connectivity). Same fresh-attribute
     branch ordering as minhash_lsh_edges (Spark 4.1 AQE checkpoint
     quirk)."""
+    # materialize the fingerprint table ONCE for BOTH branches — passing
+    # raw simhash(df) output here must not run the text kernel twice
+    # (the pairs path checkpoints only its local copy)
+    if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
+        sh = sh.localCheckpoint(eager=True)
     rep_pairs = simhash_pairs_from_fingerprints(
         sh, max_hamming, n_blocks=n_blocks, max_bucket=max_bucket,
         expand_exact_dups=False,
     )
     members = sh.select(F.col("simhash").alias("grp"), "id")
-    rg = members.groupBy("grp").agg(
-        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
+    elig_groups = _rep_groups(members).filter(F.col("csize") > 1)
+    return _star_edges(members, elig_groups).unionByName(
+        rep_pairs.select("id_a", "id_b")
     )
-    star = (
-        members.join(rg.filter(F.col("csize") > 1).select("grp", "rid"), "grp")
-        .where(F.col("id") != F.col("rid"))
-        .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
-    )
-    return star.unionByName(rep_pairs.select("id_a", "id_b"))
 
 
 def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
@@ -804,9 +815,7 @@ def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     `rep_pairs` straight from stored chunks). Join choreography lives in
     _expand_pairs (one implementation for both dedup families)."""
     members = sh.select(F.col("simhash").alias("grp"), "id")
-    rg = members.groupBy("grp").agg(
-        F.min("id").alias("rid"), F.count(F.lit(1)).alias("csize")
-    )
+    rg = _rep_groups(members)
     rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
     elig = rg.filter(F.col("csize") > 1).select("grp")
     return _expand_pairs(members, rep_map, rep_pairs, "hamming", 0, elig)
