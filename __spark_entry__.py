@@ -480,6 +480,26 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup graph -> per-doc cluster assignment + keep flag:
+    the SimHash counterpart of dedup_clusters. CC consumes the LINEAR
+    edge list (rep-level pairs + member->rep stars,
+    simhash_edges_from_fingerprints); oracle = recursive-CTE transitive
+    closure of the member-level simhash pair graph, with fingerprints
+    re-derived in pure SQL."""
+    from tetrex_spark.operators.clusters import dedup_keep_list
+    from tetrex_spark.operators.dedup import (
+        simhash,
+        simhash_edges_from_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir)
+    edges = simhash_edges_from_fingerprints(
+        simhash(docs, "text", "doc_id"), max_hamming=3, n_blocks=None
+    )
+    return dedup_keep_list(docs, edges)
+
+
 CANDIDATE_PATTERNS = [MOTIF_PATTERN, "wind+ow", "qu(e|a)ry stream"]
 
 
@@ -655,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-majority votes + brute-force hamming join for simhash
         "fingerprints": q_fingerprints,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_clusters": q_simhash_clusters,
         "gram_decode": q_gram_decode,
         # composed pipeline decision (quality x PII x near-dup keep)
         "curation_pipeline": q_curation_pipeline,
@@ -787,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _HOST_STATS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "gram_decode": _GRAM_DECODE_SQL,
         "heavy_hitters_exact": _HH_TOP20_SQL,
         # same ground truth, different compute path (CMS-pruned candidates)
@@ -1126,8 +1148,10 @@ _SIMHASH_POWS = "[" + ", ".join(
     str(pow(0x9E3779B97F4A7C15, j, _M64)) for j in range(64)
 ) + "]::ubigint[]"
 
-_SIMHASH_PAIRS_SQL = f"""
-with n as (select doc_id as id, {_NORM_SQL_DUCK} as norm from documents),
+# shared CTE body: normalized tokens -> splitmix64 token hashes ->
+# bit-majority fingerprint per doc (fp). Used by the pairs oracle and the
+# clusters (recursive-closure) oracle.
+_SIMHASH_FP_CTES = f"""n as (select doc_id as id, {_NORM_SQL_DUCK} as norm from documents),
 pw as (select {_SIMHASH_POWS} as pows),
 tok as (
   select id, t.tok as tok from n, unnest(string_split(norm, ' ')) as t(tok)
@@ -1160,11 +1184,37 @@ fpu as (
 fp as (
   select n.id, coalesce(f.fp, 0::ubigint) as fp
   from n left join fpu f using (id)
-)
+)"""
+
+_SIMHASH_PAIRS_SQL = f"""
+with {_SIMHASH_FP_CTES}
 select a.id as id_a, b.id as id_b,
        bit_count(xor(a.fp, b.fp))::int as hamming
 from fp a join fp b on a.id < b.id
 where bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+# simhash_clusters oracle: recursive-CTE transitive closure of the
+# member-level simhash pair graph (the fixpoint the large-star/small-star
+# rounds converge to over the linear edge list).
+_SIMHASH_CLUSTERS_SQL = f"""
+with recursive {_SIMHASH_FP_CTES},
+sp as (
+  select a.id as id_a, b.id as id_b
+  from fp a join fp b on a.id < b.id
+  where bit_count(xor(a.fp, b.fp)) <= 3
+),
+edges as (
+  select id_a as a, id_b as b from sp
+  union select id_b, id_a from sp
+),
+reach(id, r) as (
+  select doc_id, doc_id from documents
+  union
+  select rc.id, e.b from reach rc join edges e on e.a = rc.r
+),
+comp as (select id, min(r) as component from reach group by id)
+select id, component, (component = id)::int as keep from comp
 """
 
 # PII-scrub oracle: same patterns, same order (counts on the original
