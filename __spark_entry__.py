@@ -180,6 +180,42 @@ def q_jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=JACCARD_K, threshold=JACCARD_T)
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl collapse (url, warc_ts) -> one newest version per url: the
+    snapshot dedup a Common-Crawl-style pipeline runs before text-level
+    dedup. Every 5th document is re-emitted as a one-day-later recrawl
+    with amended text; the operator (ONE max_by aggregate, map-side
+    partial combining — not a window sort) must keep exactly the recrawl
+    for those urls and the single original elsewhere. The oracle derives
+    the same augmentation and picks per-url winners with a window."""
+    from tetrex_spark.operators.dedup import latest_snapshot
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+        F.col("doc_id"),
+    )
+    base = d.select(
+        url.alias("url"),
+        F.make_interval(secs=F.col("doc_id").cast("double")).alias("age"),
+        F.col("text"),
+    ).select(
+        "url",
+        (F.lit("2020-01-01 00:00:00").cast("timestamp") + F.col("age"))
+        .alias("warc_ts"),
+        "text",
+    )
+    recrawl = base.join(
+        d.filter(F.col("doc_id") % 5 == 0).select(url.alias("url")), "url"
+    ).select(
+        "url",
+        (F.col("warc_ts") + F.expr("interval 1 day")).alias("warc_ts"),
+        F.concat(F.col("text"), F.lit(" (recrawl)")).alias("text"),
+    )
+    out = latest_snapshot(base.unionByName(recrawl))
+    return out.select("url", "text", "n_versions")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> per-doc cluster assignment + keep flag:
     large-star/small-star connected components (operators/clusters.py)
@@ -648,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_full_scan": q_motif_full_scan,
         "motif_gap": q_motif_gap,
         "exact_dedup": q_exact_dedup,
+        "latest_snapshot": q_latest_snapshot,
         "jaccard_pairs_lsh": q_jaccard_pairs_lsh,
         "dedup_clusters": q_dedup_clusters,
         "token_stats": q_token_stats,
@@ -773,6 +810,24 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as keep_id,
                    count(*) as n_dups
             from documents group by 1
+        """,
+        "latest_snapshot": f"""
+            with b as (
+              select {_URL} as url, 0 as v, text from documents
+            ),
+            r as (
+              select {_URL} as url, 1 as v, text || ' (recrawl)' as text
+              from documents where doc_id % 5 = 0
+            ),
+            u as (select * from b union all select * from r),
+            ranked as (
+              select url, text, v,
+                     row_number() over (partition by url order by v desc)
+                       as rn,
+                     count(*) over (partition by url) as n_versions
+              from u
+            )
+            select url, text, n_versions from ranked where rn = 1
         """,
         "jaccard_pairs_lsh": f"with {_JACCARD_CTES} select * from jp",
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -644,3 +644,29 @@ def test_hyperplane_lsh_params_planner(spark, vectors):
         (r["id_a"], r["id_b"]) for r in cosine_pairs_exact(df, 0.9).collect()
     }
     assert exact and got == exact
+
+
+def test_latest_snapshot_keeps_newest_per_key(spark):
+    """latest_snapshot: one row per url (the max-ts version), column set
+    preserved plus n_versions; single-version keys pass through."""
+    import datetime as dt
+
+    from tetrex_spark.operators.dedup import latest_snapshot
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        ("u1", t0, "v1", "en"),
+        ("u1", t0 + dt.timedelta(days=1), "v2", "en"),
+        ("u1", t0 + dt.timedelta(hours=3), "v1b", "de"),
+        ("u2", t0, "only", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    )
+    out = {r["url"]: r for r in latest_snapshot(df).collect()}
+    assert set(out) == {"u1", "u2"}
+    assert out["u1"]["text"] == "v2" and out["u1"]["n_versions"] == 3
+    assert out["u2"]["text"] == "only" and out["u2"]["n_versions"] == 1
+    assert set(latest_snapshot(df).columns) == {
+        "url", "warc_ts", "text", "lang", "n_versions"
+    }

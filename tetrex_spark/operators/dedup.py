@@ -819,3 +819,32 @@ def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
     elig = rg.filter(F.col("csize") > 1).select("grp")
     return _expand_pairs(members, rep_map, rep_pairs, "hamming", 0, elig)
+
+
+# -- snapshot collapse --------------------------------------------------------
+
+
+def latest_snapshot(
+    df: DataFrame, key_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """One row per key: the most recent snapshot — the recrawl collapse a
+    Common-Crawl-style pipeline runs before any text-level dedup (the
+    same url is fetched in many crawls; downstream operators want exactly
+    one version).
+
+    Implemented as ONE aggregation with max_by over a packed struct, not
+    a window rank: the aggregate gets map-side partial combining (each
+    task keeps one candidate row per key before the shuffle), where a
+    row_number window must shuffle and SORT every version of every key.
+    Ties on `ts_col` are broken arbitrarily — feed unique timestamps (or
+    disambiguate upstream) where determinism matters."""
+    others = [c for c in df.columns if c != key_col]
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), F.col(ts_col))
+            .alias("_r"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        .select(key_col, "_r.*", "n_versions")
+    )
