@@ -190,23 +190,12 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same augmentation and picks per-url winners with a window."""
     from tetrex_spark.operators.dedup import latest_snapshot
 
-    d = _docs(spark, sf_dir)
-    url = F.concat(
-        F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
-        F.col("doc_id"),
-    )
-    base = d.select(
-        url.alias("url"),
-        F.make_interval(secs=F.col("doc_id").cast("double")).alias("age"),
-        F.col("text"),
-    ).select(
-        "url",
-        (F.lit("2020-01-01 00:00:00").cast("timestamp") + F.col("age"))
-        .alias("warc_ts"),
-        "text",
-    )
-    recrawl = base.join(
-        d.filter(F.col("doc_id") % 5 == 0).select(url.alias("url")), "url"
+    # the canonical corpus shape supplies url + warc_ts (one source of
+    # truth for the url/timestamp scheme — sources.corpus adapter); the
+    # recrawl branch filters it directly, no key-list self-join
+    base = _corpus(spark, sf_dir).select("url", "warc_ts", "text")
+    recrawl = base.filter(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") % 5 == 0
     ).select(
         "url",
         (F.col("warc_ts") + F.expr("interval 1 day")).alias("warc_ts"),

@@ -670,3 +670,26 @@ def test_latest_snapshot_keeps_newest_per_key(spark):
     assert set(latest_snapshot(df).columns) == {
         "url", "warc_ts", "text", "lang", "n_versions"
     }
+
+
+def test_latest_snapshot_null_ts_and_collision_guard(spark):
+    """NULL warc_ts rows lose to any timestamped version; all-null keys
+    still return a REAL row (not a fabricated all-NULL winner); an input
+    that already has n_versions refuses loudly."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from tetrex_spark.operators.dedup import latest_snapshot
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("u1", None, "untimed"), ("u1", t0, "timed"),
+            ("u2", None, "a"), ("u2", None, "b")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    out = {r["url"]: r for r in latest_snapshot(df).collect()}
+    assert out["u1"]["text"] == "timed" and out["u1"]["n_versions"] == 2
+    assert out["u2"]["text"] in ("a", "b") and out["u2"]["n_versions"] == 2
+    with _pt.raises(ValueError, match="n_versions"):
+        latest_snapshot(latest_snapshot(df))

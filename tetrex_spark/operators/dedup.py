@@ -837,12 +837,24 @@ def latest_snapshot(
     task keeps one candidate row per key before the shuffle), where a
     row_number window must shuffle and SORT every version of every key.
     Ties on `ts_col` are broken arbitrarily — feed unique timestamps (or
-    disambiguate upstream) where determinism matters."""
+    disambiguate upstream) where determinism matters. Rows with NULL
+    `ts_col` lose to any timestamped version (the order key is
+    (ts IS NOT NULL, ts), never null itself — naked max_by would SKIP
+    null-ordered rows and fabricate an all-NULL winner for keys whose
+    versions are all untimestamped; here some real row always wins)."""
+    if "n_versions" in df.columns:
+        raise ValueError(
+            "input already has an n_versions column — rename it before "
+            "collapsing (the output's version count would be ambiguous)"
+        )
     others = [c for c in df.columns if c != key_col]
+    order_key = F.struct(
+        F.col(ts_col).isNotNull().alias("has_ts"), F.col(ts_col).alias("ts")
+    )
     return (
         df.groupBy(key_col)
         .agg(
-            F.max_by(F.struct(*[F.col(c) for c in others]), F.col(ts_col))
+            F.max_by(F.struct(*[F.col(c) for c in others]), order_key)
             .alias("_r"),
             F.count(F.lit(1)).alias("n_versions"),
         )
