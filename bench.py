@@ -129,6 +129,7 @@ def main() -> None:
     for name in [
         "motif_gap",
         "exact_dedup",
+        "latest_snapshot",
         "jaccard_pairs_lsh",
         "dedup_clusters",
         "token_stats",
