@@ -333,6 +333,76 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank")
 
 
+ANN_IVF_PROBE = 4
+ANN_IVF_CELLS = 16
+ANN_IVF_RECALL_FLOOR = 0.2
+
+
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF in the PRUNED regime (n_probe=4 of 16 cells) — the
+    configuration users actually run, value-checked per query (round-4
+    'What's missing #3'). Emits (query_id, top1_id, ok):
+
+      top1_id — the brute-force top-1 (cosine desc, id asc), derivable
+        in DuckDB, so the exact scorer is hash-checked alongside;
+      ok — the pruning invariant: IVF scores probed cells EXACTLY, so
+        its top-k must contain every true-top-k vector whose cell is
+        probed, and measured recall@k must EQUAL that probe coverage —
+        any deviation is a machinery bug, not an approximation; plus
+        the documented empirical floor recall >= 0.2 for this seeded
+        quantizer on the fixture.
+
+    The oracle asserts ok=true for every query; recall itself is a
+    k-means artifact DuckDB cannot re-derive, which is exactly why the
+    entry emits the invariant verdict (the sketch_estimates pattern)."""
+    from tetrex_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_assign,
+        ivf_topk_batch,
+        train_ivf_centroids,
+    )
+
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    qrows = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).collect()
+    queries = {int(r["vec_id"]): list(r["embedding"]) for r in qrows}
+    C = train_ivf_centroids(emb, ANN_IVF_CELLS, seed=42)
+    brute = cosine_topk_batch(emb, queries, k=ANN_K).collect()
+    ivf = ivf_topk_batch(
+        emb, queries, k=ANN_K, n_cells=ANN_IVF_CELLS,
+        n_probe=ANN_IVF_PROBE, centroids=C,
+    ).collect()
+    cell_of = {
+        int(r["vec_id"]): int(r["cell"]) for r in ivf_assign(emb, C).collect()
+    }
+    qids = sorted(queries)
+    Q = np.asarray([queries[i] for i in qids], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :ANN_IVF_PROBE]
+    probe_sets = {qid: set(map(int, probe[qi])) for qi, qid in enumerate(qids)}
+    b_of: dict[int, list[int]] = {q: [] for q in qids}
+    for r in brute:
+        b_of[int(r["query_id"])].append(int(r["vec_id"]))
+    i_of: dict[int, set[int]] = {q: set() for q in qids}
+    for r in ivf:
+        i_of[int(r["query_id"])].add(int(r["vec_id"]))
+    out = []
+    for q in qids:
+        true_k = b_of[q]
+        covered = {v for v in true_k if cell_of[v] in probe_sets[q]}
+        recall = len(i_of[q] & set(true_k)) / float(ANN_K)
+        ok = (
+            covered <= i_of[q]
+            and recall == len(covered) / float(ANN_K)
+            and recall >= ANN_IVF_RECALL_FLOOR
+        )
+        out.append((q, true_k[0], bool(ok)))
+    return spark.createDataFrame(
+        out, "query_id long, top1_id long, ok boolean"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed block-exact all-pairs cosine — the scale path for this
     corpus's MODERATE threshold (0.4): below cos ~0.85 hyperplane blocking
@@ -525,6 +595,56 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_list(docs, edges)
 
 
+def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming SimHash gate, driver-oracled (round-4
+    'What's missing #1'): corpus fingerprints split into 4 deterministic
+    micro-batches (pmod(id, 4)), streamed through the
+    applyInPandasWithState bucket operator UNCAPPED (max_per_key far
+    above the corpus, so the documented overflow-drop semantics never
+    engage), collected pair set distinct-ed (the gate may emit one pair
+    via several bands/batches). Must equal the batch member-level
+    derivation the DuckDB oracle re-derives in pure SQL — the same
+    _SIMHASH_PAIRS_SQL the batch entry is checked against: streamed ==
+    batch on the same corpus."""
+    import tempfile
+
+    from tetrex_spark.operators.dedup import simhash
+    from tetrex_spark.streaming.simhash_stream import streaming_simhash_pairs
+
+    sdir = tempfile.mkdtemp(prefix="tetrex_stream_oracle_")
+    fps = simhash(_docs(spark, sf_dir), "text", "doc_id").withColumn(
+        "b", F.pmod(F.col("id"), F.lit(4))
+    ).localCheckpoint(eager=True)
+    for b in range(4):
+        # one file per micro-batch: maxFilesPerTrigger=1 gives exactly 4
+        # cross-batch state transitions
+        fps.filter(F.col("b") == b).select("id", "simhash").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{sdir}/in/batch={b}")
+    stream = spark.readStream.schema("id long, simhash long").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{sdir}/in/batch=*")
+    q = (
+        streaming_simhash_pairs(
+            stream, max_hamming=3, n_blocks=4, max_per_key=1_000_000
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{sdir}/out")
+        .option("checkpointLocation", f"{sdir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming simhash gate did not finish in 600s")
+    return (
+        spark.read.schema("id_a long, id_b long, hamming int")
+        .parquet(f"{sdir}/out")
+        .distinct()
+    )
+
+
 CANDIDATE_PATTERNS = [MOTIF_PATTERN, "wind+ow", "qu(e|a)ry stream"]
 
 
@@ -687,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        # oracle-checked: brute-force top-1 hash vs DuckDB + the IVF
+        # pruning invariant verdict (recall == probe coverage, exactly)
+        "ann_recall_ivf": q_ann_recall_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_clusters": q_embedding_clusters,
@@ -702,6 +825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
+        # oracle-checked: the STREAMING stateful gate against the same
+        # SQL derivation as the batch entry (streamed == batch)
+        "streaming_simhash_pairs": q_streaming_simhash_pairs,
         "gram_decode": q_gram_decode,
         # composed pipeline decision (quality x PII x near-dup keep)
         "curation_pipeline": q_curation_pipeline,
@@ -853,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
+        "streaming_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "gram_decode": _GRAM_DECODE_SQL,
         "heavy_hitters_exact": _HH_TOP20_SQL,
         # same ground truth, different compute path (CMS-pruned candidates)
@@ -891,6 +1018,25 @@ def oracle_sql() -> dict[str, str]:
               from scored
             )
             select query_id, vec_id, rank from r where rank <= {ANN_K}
+        """,
+        "ann_recall_ivf": f"""
+            with q as (
+              select vec_id as query_id, embedding::double[] as qv
+              from embeddings where vec_id in ({",".join(map(str, ANN_QUERY_IDS))})
+            ),
+            scored as (
+              select q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::double[], q.qv) as cosine
+              from embeddings e, q
+            ),
+            r as (
+              select query_id, vec_id,
+                     row_number() over (partition by query_id
+                                        order by cosine desc, vec_id) as rank
+              from scored
+            )
+            select query_id, vec_id as top1_id, true as ok
+            from r where rank = 1
         """,
         "embedding_near_dup": _EMB_PAIRS_SQL,
         "embedding_near_dup_exact": _EMB_PAIRS_SQL,

@@ -3,17 +3,93 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Extra keys: "throughput" (docs/sec for the sketch build+merge — the
-north-rule metric) and "rows" (result sizes, as a drift canary).
+north-rule metric), "rows" (result sizes, as a drift canary),
+"foreign_cores" (per-entry foreign-CPU during the accepted run) and
+"gate" (the foreign-CPU acceptance summary).
+
+FOREIGN-CPU GATING (round-4 verdict item 1): this host shows episodic
+foreign load bursts that inflated BENCH_r04 ~15-25% across
+code-identical entries, making round-over-round deltas unreadable. Every
+timed entry is therefore measured like the scaling pairs
+(scripts/pair_hunter.py): foreign CPU during the attempt = non-idle
+jiffies from /proc/stat minus this process tree's own CPU (rusage +
+live-descendant /proc walk — the py4j JVM is invisible to
+RUSAGE_CHILDREN); an attempt is ACCEPTED when foreign stayed under
+$SPARK_GRAFT_FOREIGN_MAX cores (default 0.7). Entries retry (bounded
+global budget) until an accepted attempt exists; entries that never got
+one are listed in gate.ungated so a reader knows exactly which figures
+carry window noise. The bench also waits (bounded) for 1-min loadavg to
+drop before starting.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import resource
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FOREIGN_MAX = float(os.environ.get("SPARK_GRAFT_FOREIGN_MAX", "0.7"))
+PRE_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_PRE_WAIT", "600"))
+RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "24"))
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals) - vals[3] - vals[4]  # total minus idle+iowait
+
+
+def _descendant_cpu_sec() -> float:
+    """CPU seconds of every LIVE descendant (py4j JVM + pyspark workers)
+    via one /proc walk — same accounting as scripts/scaling.py (the JVM
+    is never reaped, so RUSAGE_CHILDREN cannot see it)."""
+    ppid, cpu = {}, {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        ppid[int(p)] = int(rest[1])
+        cpu[int(p)] = sum(map(int, rest[11:15])) / _HZ
+    total, frontier = 0.0, {os.getpid()}
+    while frontier:
+        frontier = {p for p, pp in ppid.items() if pp in frontier}
+        total += sum(cpu.get(p, 0.0) for p in frontier)
+    return total
+
+
+def _my_cpu_sec() -> float:
+    a = resource.getrusage(resource.RUSAGE_SELF)
+    b = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+
+
+class _ForeignMeter:
+    """Average foreign cores over a timed region."""
+
+    def start(self) -> None:
+        self._b0 = _busy_jiffies()
+        self._m0 = _my_cpu_sec() + _descendant_cpu_sec()
+        self._t0 = time.time()
+
+    def stop(self) -> float:
+        dt = max(time.time() - self._t0, 1e-9)
+        busy = (_busy_jiffies() - self._b0) / _HZ
+        mine = _my_cpu_sec() + _descendant_cpu_sec() - self._m0
+        return max(0.0, (busy - mine) / dt)
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
 
 
 def main() -> None:
@@ -56,16 +132,46 @@ def main() -> None:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    foreign: dict[str, float] = {}
+    ungated: list[str] = []
+    meter = _ForeignMeter()
+    retries_left = RETRY_BUDGET
+
+    # bounded pre-wait for a quiet window (same spirit as
+    # evidence_orchestrator.wait_quiet, but bounded so the driver's bench
+    # run can never stall indefinitely)
+    wait_t0 = time.time()
+    while _load1() >= 2.0 and time.time() - wait_t0 < PRE_WAIT_MAX:
+        time.sleep(10)
+    pre_wait = round(time.time() - wait_t0, 1)
 
     def timed(name: str, fn) -> None:
-        # min of 2 runs: the host this runs on shows ~3x run-to-run noise
-        # from hypervisor neighbors; steady-state min is the stable figure
-        best = float("inf")
-        for _ in range(2):
+        # min over accepted (foreign < FOREIGN_MAX cores) attempts: 2
+        # base attempts plus gated retries from a shared budget. Without
+        # the gate, min-of-2 was ±15-25% window noise on sub-second
+        # entries (BENCH_r04) — round-over-round deltas were unreadable.
+        nonlocal retries_left
+        attempts: list[tuple[float, float]] = []
+        while True:
+            meter.start()
             t0 = time.time()
             rows[name] = int(fn())
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            dt = time.time() - t0
+            attempts.append((dt, meter.stop()))
+            accepted = [a for a in attempts if a[1] < FOREIGN_MAX]
+            if len(attempts) >= 2 and accepted:
+                break
+            if len(attempts) >= 2:
+                if retries_left <= 0 or len(attempts) >= 5:
+                    break
+                retries_left -= 1
+        accepted = [a for a in attempts if a[1] < FOREIGN_MAX]
+        pool = accepted if accepted else attempts
+        best = min(pool)
+        times[name] = round(best[0], 3)
+        foreign[name] = round(best[1], 2)
+        if not accepted:
+            ungated.append(name)
 
     # 1. the north-rule headline: full 5-kind sketch build + merge
     specs = [
@@ -80,14 +186,12 @@ def main() -> None:
     timed("sketch_build_merge", lambda: build_sketches(binned, specs).count())
 
     # 2. motif index build + queries (index cached across the 3 patterns)
-    best = float("inf")
-    for _ in range(2):  # min-of-2, same noise rationale as timed()
+    def _build_index() -> int:
         entrymod._index_cache.clear()
-        t0 = time.time()
-        idx = entrymod._motif_index(spark, sf_dir)
-        best = min(best, time.time() - t0)
-    times["motif_index_build"] = round(best, 3)
-    rows["motif_index_build"] = idx.bloom.n_bins
+        return entrymod._motif_index(spark, sf_dir).bloom.n_bins
+
+    timed("motif_index_build", _build_index)
+    idx = entrymod._motif_index(spark, sf_dir)  # cached by the last attempt
     timed("motif_query", lambda: idx.query(corpus, entrymod.MOTIF_PATTERN).count())
     timed(
         "motif_conjunctive",
@@ -194,6 +298,7 @@ def main() -> None:
             fps.filter(F.col("b") == b).select("id", "simhash").coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{sdir}/in/batch={b}")
+        meter.start()
         t0 = time.time()
         stream = spark.readStream.schema("id long, simhash long").option(
             "maxFilesPerTrigger", "1"
@@ -219,6 +324,7 @@ def main() -> None:
             rows["streaming_simhash_gate"] = -1
         else:
             pipelines["streaming_simhash_gate"] = round(time.time() - t0, 3)
+            foreign["streaming_simhash_gate"] = round(meter.stop(), 2)
             rows["streaming_simhash_gate"] = int(
                 spark.read.parquet(f"{sdir}/out").count()
             )
@@ -242,15 +348,19 @@ def main() -> None:
             "--output", f"{cli_dir}/out", "--id-col", "doc_id",
             "--text-col", "text", "--chunks", "4",
         ]
+        meter.start()
         t0 = time.time()
         cli_main(cli_args)
         pipelines["cli_dedup_cold"] = round(time.time() - t0, 3)
+        foreign["cli_dedup_cold"] = round(meter.stop(), 2)
         rows["cli_dedup_cold"] = int(
             spark.read.parquet(f"{cli_dir}/out/pairs").count()
         )
+        meter.start()
         t0 = time.time()
         cli_main(cli_args)  # resume: all stages committed, re-read only
         pipelines["cli_dedup_resume"] = round(time.time() - t0, 3)
+        foreign["cli_dedup_resume"] = round(meter.stop(), 2)
         rows["cli_dedup_resume"] = rows["cli_dedup_cold"]
     finally:
         shutil.rmtree(cli_dir, ignore_errors=True)
@@ -277,6 +387,13 @@ def main() -> None:
                 },
                 "pipelines": pipelines,
                 "rows": rows,
+                "foreign_cores": foreign,
+                "gate": {
+                    "threshold_cores": FOREIGN_MAX,
+                    "pre_wait_sec": pre_wait,
+                    "retries_used": RETRY_BUDGET - retries_left,
+                    "ungated": ungated,
+                },
             }
         )
     )

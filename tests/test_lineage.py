@@ -226,6 +226,10 @@ def test_checkpointed_cosine_kill_resume_identical(spark, tmp_path):
     stages = [r["stage"] for r in cd3.lineage() if r["status"] == "committed"]
     assert len(stages) == len(set(stages)) == 5  # 4 bucket chunks + pairs
     with pytest.raises(ValueError, match="stale"):
+        CheckpointedCosineDedup(d, dim=16, threshold=0.95, n_chunks=4)
+    # a threshold the hyperplane planner cannot serve surfaces ITS
+    # message (blocking cannot prune there), not an opaque params error
+    with pytest.raises(ValueError, match="cosine_pairs_blocked"):
         CheckpointedCosineDedup(d, dim=16, threshold=0.8, n_chunks=4)
 
 
@@ -273,3 +277,33 @@ def test_checkpointed_simhash_invalid_plan_refuses_before_any_work(tmp_path):
         CheckpointedSimhashDedup(
             str(tmp_path / "bad"), max_hamming=6, n_blocks=6
         )
+
+
+def test_checkpoint_layout_guard(spark, tmp_path):
+    """A checkpoint written under a pre-namespacing artifact layout (its
+    params file has no _layout marker) must refuse at OPEN time with a
+    clear message — its params fingerprint would otherwise match and
+    resume would die later with an opaque parquet path-not-found
+    (round-4 advice item)."""
+    import json
+
+    import pytest
+
+    from tetrex_spark.lineage import CheckpointedDedup, _StagedCheckpoint
+
+    d = str(tmp_path / "legacy")
+    import os
+
+    os.makedirs(d)
+    legacy = {"k": 3, "num_perm": 128, "bands": 32, "threshold": 0.8,
+              "max_bucket": 512, "n_chunks": 4}
+    with open(f"{d}/params_dedup-0.json", "w") as f:
+        f.write(json.dumps(legacy, sort_keys=True))
+    with pytest.raises(ValueError, match="layout"):
+        CheckpointedDedup(d, n_chunks=4)
+    # a checkpoint created by THIS version reopens cleanly
+    d2 = str(tmp_path / "fresh")
+    CheckpointedDedup(d2, n_chunks=4)
+    CheckpointedDedup(d2, n_chunks=4)
+    stored = json.loads(open(f"{d2}/params_dedup-0.json").read())
+    assert stored["_layout"] == _StagedCheckpoint.LAYOUT_VERSION

@@ -249,9 +249,19 @@ def cmd_embdedup(args) -> int:
     if first is None or first[args.vec_col] is None:
         raise SystemExit(f"{args.corpus} is empty — nothing to dedup")
     dim = len(first[args.vec_col])
+    from .operators.similarity import resolve_hyperplane_plan
+
+    n_planes, n_bands = resolve_hyperplane_plan(
+        args.threshold, args.recall, args.n_planes, args.n_bands
+    )
+    print(
+        f"hyperplane plan: {n_planes} planes x {n_bands} bands "
+        f"(threshold {args.threshold}, target recall {args.recall})"
+    )
     cd = CheckpointedCosineDedup(
         args.checkpoint or f"{args.output}/_checkpoint",
         dim=dim, threshold=args.threshold, n_chunks=args.chunks,
+        n_planes=n_planes, n_bands=n_bands,
     )
     pairs = cd.run(df, vec_col=args.vec_col, id_col=args.id_col)
     pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
@@ -340,6 +350,13 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--id-col", default="vec_id")
     pe.add_argument("--vec-col", default="embedding")
     pe.add_argument("--threshold", type=float, default=0.9)
+    pe.add_argument("--recall", type=float, default=0.999,
+                    help="target blocking recall AT the threshold; the "
+                         "(planes, bands) plan is derived in closed form")
+    pe.add_argument("--n-planes", type=int, default=None,
+                    help="expert override (give with --n-bands)")
+    pe.add_argument("--n-bands", type=int, default=None,
+                    help="expert override (give with --n-planes)")
     pe.add_argument("--chunks", type=int, default=8)
     pe.set_defaults(fn=cmd_embdedup)
 

@@ -161,6 +161,16 @@ class _StagedCheckpoint:
     artifacts refuses loudly instead of silently returning stale or
     incomplete results."""
 
+    # Artifact-layout version, recorded in every params_<build_id>.json:
+    # 2 = build_id-namespaced artifact paths (sigsets_<id>/ etc.); the
+    # unversioned layer-1 layout (bare sigsets/, rep_pairs/) predates the
+    # marker entirely. A checkpoint written under a different layout must
+    # refuse at open time with a clear message — its params fingerprint
+    # would otherwise still match and resume would skip the committed
+    # stages, then die with an opaque parquet path-not-found on the old
+    # artifact paths.
+    LAYOUT_VERSION = 2
+
     def __init__(
         self, checkpoint_dir: str, *, params: dict, build_id: str,
         subdirs: tuple[str, ...] = (),
@@ -170,9 +180,19 @@ class _StagedCheckpoint:
         os.makedirs(self.dir, exist_ok=True)
         for s in subdirs:
             os.makedirs(f"{self.dir}/{s}", exist_ok=True)
+        params = {**params, "_layout": self.LAYOUT_VERSION}
         ppath = f"{self.dir}/params_{build_id}.json"
         if os.path.exists(ppath):
             stored = json.loads(open(ppath).read())
+            if stored.get("_layout") != self.LAYOUT_VERSION:
+                raise ValueError(
+                    f"checkpoint {self.dir} (build_id={build_id}) uses "
+                    f"artifact layout {stored.get('_layout', 1)}, this "
+                    f"version reads layout {self.LAYOUT_VERSION} — its "
+                    "committed stages point at paths this code no longer "
+                    "reads; rebuild in a fresh dir (or with a new "
+                    "build_id) instead of resuming"
+                )
             if stored != params:
                 raise ValueError(
                     f"checkpoint {self.dir} (build_id={build_id}) was "
@@ -375,8 +395,11 @@ class CheckpointedDedup(_StagedCheckpoint):
             return rep_pairs
         # eligibility comes straight from the STORED sigset chunks (the
         # rows there are exactly the shingle-eligible reps) — no text
-        # re-derivation on resume
-        return expand_rep_pairs(docs, rep_pairs, ss.select("id"))
+        # re-derivation on resume; the (grp, id) membership frame is
+        # checkpointed once (~40 B/doc) so the expansion's branches read
+        # a cache instead of re-scanning the raw text per branch
+        members = docs.select("grp", "id").localCheckpoint(eager=True)
+        return expand_rep_pairs(members, rep_pairs, ss.select("id"))
 
 
 class CheckpointedSimhashDedup(_StagedCheckpoint):
@@ -497,15 +520,25 @@ class CheckpointedCosineDedup(_StagedCheckpoint):
         checkpoint_dir: str,
         *,
         dim: int,
-        n_planes: int = 12,
-        n_bands: int = 8,
+        n_planes: int | None = None,
+        n_bands: int | None = None,
         threshold: float = 0.9,
+        recall: float = 0.999,
         max_bucket: int | None = 4096,
         block: int = 4096,
         n_chunks: int = 8,
         seed: int = 42,
         build_id: str = "cosdedup-0",
     ):
+        # default blocking plan comes from the closed-form planner (the
+        # user states threshold+recall; the RESOLVED plan is what the
+        # params fingerprint pins, so a later planner change cannot
+        # silently mix bucket chunks from two different plans)
+        from .operators.similarity import resolve_hyperplane_plan
+
+        n_planes, n_bands = resolve_hyperplane_plan(
+            threshold, recall, n_planes, n_bands
+        )
         self.dim, self.n_planes, self.n_bands = dim, n_planes, n_bands
         self.threshold, self.max_bucket = threshold, max_bucket
         self.block, self.n_chunks, self.seed = block, n_chunks, seed

@@ -38,6 +38,58 @@ def tokens_col(c: str):
     return F.split(norm_col(c), " ")
 
 
+def _spread(df: DataFrame, per_core_bytes: int = 8 << 20) -> DataFrame:
+    """Give a SMALL input enough partitions to use every core for a
+    Python-kernel mapInPandas pass. A toy/sf corpus often arrives as one
+    parquet file (one input split), and AQE coalesces small shuffle
+    outputs to one partition — either way the kernel serializes on a
+    single core. Gate on Catalyst's size estimate, not partition count:
+    the estimate is known without running anything, while an AQE plan's
+    runtime partition count is not. Inputs estimated above
+    per_core_bytes * defaultParallelism (≈256 MB at 32 cores) already
+    have enough splits — at production scale this is a no-op, and when
+    it does fire the round-robin shuffle moves only the small frame it
+    measured."""
+    sc = df.sparkSession.sparkContext
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable — leave the plan alone
+        return df
+    if est < per_core_bytes * sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def _compact(
+    df: DataFrame, sizer: DataFrame | None = None,
+    bytes_per_part: int = 64 << 20,
+) -> DataFrame:
+    """Right-size a frame about to be checkpointed and re-read by many
+    downstream stages: a union of several 32-partition branches carries
+    ~100 near-empty partitions at toy scale, and every consuming stage
+    then schedules ~100 near-empty tasks — pure job-floor overhead. Uses
+    Catalyst's size estimate to coalesce (never shuffle) toward
+    `bytes_per_part` partitions with a floor of defaultParallelism/4, so
+    a genuinely large frame keeps its partition count at scale. `sizer`
+    supplies the frame to ESTIMATE when df's own plan contains joins
+    (whose multiplicative row estimates make sizeInBytes useless) — pick
+    the scan-derived branch that dominates the real output size."""
+    sc = df.sparkSession.sparkContext
+    try:
+        est = int(
+            (sizer if sizer is not None else df)
+            ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    floor = max(1, sc.defaultParallelism // 4)
+    # cap keeps the value a valid Java int; a huge (or unknown =
+    # Long.Max) estimate lands at the cap, where coalesce() is a no-op
+    # because the plan has fewer partitions than that anyway
+    target = int(max(floor, min(-(-est // bytes_per_part), 1 << 20)))
+    return df.coalesce(target)
+
+
 def shingles_col(c: str, k: int):
     """Array of token k-shingle strings (JVM transform over slice)."""
     toks = tokens_col(c)
@@ -166,7 +218,7 @@ def minhash_sigs_and_sets(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, _SIGSET_SCHEMA)
+    return _spread(df.select(id_col, text_col)).mapInPandas(fn, _SIGSET_SCHEMA)
 
 
 def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
@@ -352,15 +404,15 @@ def minhash_lsh_pairs(
 
     md5 collision risk for the pre-collapse is ~n^2/2^128 — far below the
     shingle-hash collision tolerance minhash itself assumes."""
-    docs, rep_pairs, elig_ids = _minhash_rep_level(
+    members, rep_pairs, elig_ids = _minhash_rep_level(
         df, k, num_perm, bands, threshold, text_col, id_col, max_bucket,
         with_elig=expand_exact_dups,
     )
     if not expand_exact_dups:
         return rep_pairs
-    # 5. expand representative pairs to member pairs (integer shuffles
-    # only — see expand_rep_pairs)
-    return expand_rep_pairs(docs, rep_pairs, elig_ids)
+    # 5. expand representative pairs to member pairs (cache-only plan —
+    # members is checkpointed; see expand_rep_pairs)
+    return expand_rep_pairs(members, rep_pairs, elig_ids)
 
 
 def _minhash_rep_level(
@@ -369,32 +421,70 @@ def _minhash_rep_level(
 ):
     """Steps 1-4 of minhash_lsh_pairs (pre-collapse, fused sig+set pass,
     capped blocking, exact verify), shared with minhash_lsh_edges.
-    Returns (docs, checkpointed rep_pairs, checkpointed elig_ids-or-None):
-    rep pairs are tiny (candidate-bounded) and materialized so every
-    intermediate cache can be released before return; the
-    shingle-eligible rep ids (one int per rep with >= k tokens — exactly
-    the rows ss holds) are checkpointed from the still-cached ss in the
-    same breath, so no consumer ever re-derives eligibility from text."""
+    Returns (members, checkpointed rep_pairs, elig_ids-or-None), where
+    `members` is a CHECKPOINTED (grp, id) frame when with_elig (else the
+    lazy docs derivation): the r4 revision re-derived (grp, id) from the
+    raw text in every expansion branch — ~4 parquet+md5 scans per
+    consuming action; checkpointing the ~40 B/doc integer/digest frame
+    once (linear, far smaller than the text it replaces) makes the whole
+    member-level expansion a cache-only plan.
+
+    EXACTLY TWO eager jobs run here (plus one tiny cached-aggregate read
+    in the cap-stats finisher — asserted by tests/test_clusters.py's job
+    budget): the kernel pass is its own localCheckpoint (it runs ONCE by
+    construction — the r4 shape relied on a persist populated inside the
+    verify's broadcast subtree, which left the kernel exposed to
+    concurrent-stage double-compute the moment another union branch read
+    it), and one fused checkpoint materializes rep_pairs + elig_ids +
+    members from it in a single action. The sig/set checkpoint storage
+    is released by GC when this frame goes out of scope at return."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
     # 1. exact-dup pre-collapse (map-side combine does the heavy lifting)
     docs, reps = dup_groups(df, text_col, id_col)
-    # 2. one fused kernel pass, persisted for its two consumers
-    ss = minhash_sigs_and_sets(reps, k, num_perm, "txt", "id").persist()
+    # 2. one fused kernel pass, checkpointed — every downstream branch
+    # (buckets, both verify sides, eligibility) reads the materialized
+    # table; the tokenize/hash kernel cannot run twice
+    ss = minhash_sigs_and_sets(reps, k, num_perm, "txt", "id").localCheckpoint(
+        eager=True
+    )
     # 3+4. capped blocking + exact verify on candidates only
     handles: list = []
-    rep_pairs = verify_rep_pairs(
+    rp = verify_rep_pairs(
         ss, bands=bands, r=r, threshold=threshold, max_bucket=max_bucket,
         release=handles,
-    ).localCheckpoint(eager=True)
-    elig_ids = (
-        ss.select("id").localCheckpoint(eager=True) if with_elig else None
     )
+    if with_elig:
+        nulls = [
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+        ]
+        combined = (
+            rp.select(F.lit(0).alias("part"),
+                      F.lit(None).cast("string").alias("grp"),
+                      "id_a", "id_b", "jaccard")
+            .unionByName(
+                ss.select(F.lit(1).alias("part"),
+                          F.lit(None).cast("string").alias("grp"),
+                          F.col("id").alias("id_a"), *nulls))
+            .unionByName(
+                docs.select(F.lit(2).alias("part"), "grp",
+                            F.col("id").alias("id_a"), *nulls))
+            .transform(lambda u: _compact(u, sizer=docs.select("grp", "id")))
+            .localCheckpoint(eager=True)
+        )
+        rep_pairs = combined.filter("part = 0").select("id_a", "id_b", "jaccard")
+        elig_ids = combined.filter("part = 1").select(F.col("id_a").alias("id"))
+        members = combined.filter("part = 2").select(
+            "grp", F.col("id_a").alias("id")
+        )
+    else:
+        rep_pairs = rp.localCheckpoint(eager=True)
+        elig_ids, members = None, docs
     for fin in handles:
         fin()
-    ss.unpersist()
-    return docs, rep_pairs, elig_ids
+    return members, rep_pairs, elig_ids
 
 
 def minhash_lsh_edges(
@@ -416,11 +506,11 @@ def minhash_lsh_edges(
     clusters.connected_components / dedup_keep_list; keep
     minhash_lsh_pairs for consumers that need the actual pair list with
     jaccard values."""
-    docs, rep_pairs, elig_ids = _minhash_rep_level(
+    members, rep_pairs, elig_ids = _minhash_rep_level(
         df, k, num_perm, bands, threshold, text_col, id_col, max_bucket,
         with_elig=True,
     )
-    members = docs.select("grp", "id")
+    members = members.select("grp", "id")
     elig_groups = _rep_groups(members).filter(F.col("csize") > 1).join(
         elig_ids.select(F.col("id").alias("rid")), "rid"
     )
@@ -630,7 +720,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 {"id": pdf[id_col].to_numpy(), "simhash": out.view(np.int64)}
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, _SIMHASH_SCHEMA)
+    return _spread(df.select(id_col, text_col)).mapInPandas(fn, _SIMHASH_SCHEMA)
 
 
 def simhash_blocking_plan(n_blocks: int, max_hamming: int) -> list[tuple[int, ...]]:
@@ -738,12 +828,15 @@ def simhash_pairs_from_fingerprints(
     # branches (buckets, both verify sides, rep->group map, eligibility,
     # member expansion) all read it without ever re-running the simhash
     # kernel pass; the checkpoint blocks are freed when the returned
-    # frame is garbage-collected
+    # frame is garbage-collected. With adaptive width the checkpoint is
+    # LAZY and the count() both materializes it and returns the size —
+    # ONE job where the r4 shape paid an eager checkpoint plus a
+    # separate cache-scan count.
     if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.localCheckpoint(eager=n_blocks is not None)
     if n_blocks is None:
-        # adaptive width (see simhash_pairs): counting the checkpointed
-        # 16-byte/doc fingerprint table is a cache scan, not a text scan
+        # adaptive width (see simhash_pairs): this count is what
+        # materializes the lazy checkpoint — never a second text scan
         n_blocks = 4 if sh.count() <= 200_000 else 6
     groups = sh.groupBy("simhash").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
@@ -836,20 +929,32 @@ def latest_snapshot(
     a window rank: the aggregate gets map-side partial combining (each
     task keeps one candidate row per key before the shuffle), where a
     row_number window must shuffle and SORT every version of every key.
-    Ties on `ts_col` are broken arbitrarily — feed unique timestamps (or
-    disambiguate upstream) where determinism matters. Rows with NULL
-    `ts_col` lose to any timestamped version (the order key is
-    (ts IS NOT NULL, ts), never null itself — naked max_by would SKIP
-    null-ordered rows and fabricate an all-NULL winner for keys whose
-    versions are all untimestamped; here some real row always wins)."""
+    Ties on `ts_col` are broken DETERMINISTICALLY by a stable content
+    digest (xxhash64 of the row's non-key columns, maps excluded — maps
+    are unhashable and unorderable in Spark): equal-timestamp recrawls
+    collapse to the same winner at any parallelism, which the resumable
+    pipelines downstream (lineage.*) rely on. Rows whose hashable
+    columns are fully identical tie harmlessly (any winner is the same
+    row); distinct rows colliding in the 64-bit digest is ~2^-64. Rows
+    with NULL `ts_col` lose to any timestamped version (the order key is
+    (ts IS NOT NULL, ts, digest), never null itself — naked max_by would
+    SKIP null-ordered rows and fabricate an all-NULL winner for keys
+    whose versions are all untimestamped; here some real row always
+    wins)."""
     if "n_versions" in df.columns:
         raise ValueError(
             "input already has an n_versions column — rename it before "
             "collapsing (the output's version count would be ambiguous)"
         )
     others = [c for c in df.columns if c != key_col]
+    hashable = [
+        f.name for f in df.schema.fields
+        if f.name != key_col and not isinstance(f.dataType, T.MapType)
+    ]
     order_key = F.struct(
-        F.col(ts_col).isNotNull().alias("has_ts"), F.col(ts_col).alias("ts")
+        F.col(ts_col).isNotNull().alias("has_ts"),
+        F.col(ts_col).alias("ts"),
+        F.xxhash64(F.struct(*[F.col(c) for c in hashable])).alias("tie"),
     )
     return (
         df.groupBy(key_col)

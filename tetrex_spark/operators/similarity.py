@@ -598,13 +598,43 @@ def hyperplane_lsh_params(
     )
 
 
+def resolve_hyperplane_plan(
+    threshold: float,
+    recall: float,
+    n_planes: int | None,
+    n_bands: int | None,
+) -> tuple[int, int]:
+    """Resolve the blocking plan every hyperplane consumer uses: both
+    knobs given -> use them verbatim (expert override); neither ->
+    derive from (threshold, recall) via hyperplane_lsh_params and log
+    the derived plan; exactly one given is refused — the pair is a JOINT
+    solution of the recall equation, overriding half of it silently
+    changes the other half's meaning."""
+    import logging
+
+    if (n_planes is None) != (n_bands is None):
+        raise ValueError(
+            "give BOTH n_planes and n_bands (expert override) or NEITHER "
+            "(derived from threshold+recall) — one without the other has "
+            "no defined recall"
+        )
+    if n_planes is None:
+        n_planes, n_bands = hyperplane_lsh_params(threshold, recall)
+        logging.getLogger(__name__).info(
+            "hyperplane LSH plan for threshold=%.3f recall=%.4g: "
+            "%d planes x %d bands", threshold, recall, n_planes, n_bands,
+        )
+    return n_planes, n_bands
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     *,
     dim: int,
-    n_planes: int = 12,
-    n_bands: int = 8,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
     threshold: float = 0.85,
+    recall: float = 0.999,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -615,17 +645,21 @@ def hyperplane_lsh_pairs(
 
     P(same bucket | angle θ) = (1 - θ/π)^n_planes per band; recall over
     b bands is 1-(1-p)^b — blocking is probabilistic (tunable), and the
-    exact cosine verify keeps precision at 1. Use hyperplane_lsh_params
-    to derive (n_planes, n_bands) from a (threshold, recall) target in
-    closed form. Parameter regimes:
+    exact cosine verify keeps precision at 1. By DEFAULT (n_planes and
+    n_bands both None) the plan comes from hyperplane_lsh_params in
+    closed form: the user states WHAT they want — (threshold, recall) —
+    and the planner picks the most selective (n_planes, n_bands) that
+    guarantees it; pass both knobs explicitly to override. Parameter
+    regimes:
 
-      - high threshold (>= 0.9, the true near-dup regime): the default
-        12 planes x 8 bands — selective buckets, ~0.999+ recall at 0.95.
+      - high threshold (>= 0.9, the true near-dup regime): the planner
+        derives e.g. 14 planes x 57 bands at (0.9, 0.999) — selective
+        buckets (orthogonal-pair candidate rate < 0.05) with the recall
+        guaranteed AT the threshold, not just for ~1.0-cosine twins.
       - moderate threshold (~0.4-0.6): blocking cannot be selective
-        (p_plane ~ 0.63 at cos 0.4), so use FEW planes x MANY bands
-        (e.g. 4 x 64: per-pair miss ~1.6e-5 at cos 0.4) and accept that
-        buckets are coarse — the verify, not the blocking, does the
-        work; prefer cosine_pairs_blocked there.
+        (p_plane ~ 0.63 at cos 0.4) — the planner raises and points at
+        cosine_pairs_blocked, which streams the exact block-pair matmul
+        instead.
 
     Buckets are size-capped like the MinHash path (whole-bucket drops,
     counted and logged by default — see dedup.capped_candidate_pairs).
@@ -635,6 +669,9 @@ def hyperplane_lsh_pairs(
     caps) before verification; in the moderate-threshold regime where
     blocking cannot prune, candidates approach all-pairs — use
     cosine_pairs_blocked there, which streams block pairs instead."""
+    n_planes, n_bands = resolve_hyperplane_plan(
+        threshold, recall, n_planes, n_bands
+    )
     buckets = lsh_buckets(
         df, dim=dim, n_planes=n_planes, n_bands=n_bands,
         vec_col=vec_col, id_col=id_col, seed=seed,

@@ -24,13 +24,19 @@ Guarantees and bounds:
     pairs are needed (the batch path's `distinct` plays that role).
   - state per key is CAPPED at `max_per_key` fingerprints (oldest kept;
     overflow arrivals are not stored but ARE checked — against the stored
-    state and against every earlier arrival of their own chunk, so two
-    overflow arrivals landing in the same micro-batch chunk still pair
-    with each other; overflow-vs-overflow pairs ACROSS chunks/batches are
-    dropped, the streaming analog of the batch path's whole-bucket cap
-    drops) and optionally expired by a processing-time timeout — both
-    bounds echo the batch path's bucket caps and the watermark bound of
-    streaming_exact_dedup.
+    state, against the FIRST `max_per_key` arrivals of their own chunk,
+    and against their own 1024-row strip, so two overflow arrivals
+    landing close together in one micro-batch chunk still pair with each
+    other; overflow-vs-overflow beyond that window — across
+    chunks/batches or past the in-chunk cap — is dropped, the streaming
+    analog of the batch path's whole-bucket cap drops. The in-chunk cap
+    also bounds per-batch COMPUTE at O(n_chunk * (max_per_key + 1024))
+    popcounts, so a giant near-dup cluster cannot stall the stream
+    inside one applyInPandasWithState call) and optionally expired by a
+    processing-time timeout — both bounds echo the batch path's bucket
+    caps and the watermark bound of streaming_exact_dedup. State is
+    REWRITTEN only when membership changed (a full bucket seeing only
+    overflow arrivals costs no state serialization).
 """
 
 from __future__ import annotations
@@ -107,6 +113,7 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
         # arrivals)
         TILE = 1024
         frames: list[pd.DataFrame] = []
+        changed = False
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -115,7 +122,17 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
             pdf = pdf.sort_values("id")
             nids = pdf["id"].to_numpy(np.int64)
             nfps = pdf["simhash"].to_numpy(np.int64)
+            # `seen` (earlier arrivals of this chunk) is CAPPED at
+            # max_per_key rows, so per-chunk compute is O(n_chunk *
+            # (max_per_key + TILE)) popcounts, not O(n_chunk^2): a giant
+            # near-dup cluster routing a 100k-row chunk into one bucket
+            # pairs each arrival against the stored state, the first
+            # max_per_key arrivals of the chunk, and its own strip —
+            # overflow-vs-overflow beyond that window is dropped, the
+            # same beyond-cap drop semantics the cross-chunk/batch path
+            # already has (and the batch operator's whole-bucket cap).
             seen: list[tuple[np.ndarray, np.ndarray]] = []
+            seen_rows = 0
             for s in range(0, nids.size, TILE):
                 aids = nids[s : s + TILE]
                 afps = nfps[s : s + TILE]
@@ -124,7 +141,8 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
                     _pairs_between(aids, afps, ids, fps)
                 # vs EARLIER arrivals of the same chunk — including
                 # overflow arrivals that will never be stored (a capped
-                # bucket still pairs its own batch's members)
+                # bucket still pairs its own batch's members, up to the
+                # max_per_key seen-window above)
                 for pids, pfps in seen:
                     _pairs_between(aids, afps, pids, pfps)
                 # intra-strip upper triangle
@@ -140,14 +158,22 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
                     ii, jj = ii[keep], jj[keep]
                     if ii.size:
                         _emit(aids[ii], aids[jj], dnn[ii, jj], frames)
-                seen.append((aids, afps))
+                keep = max_per_key - seen_rows
+                if keep > 0:
+                    seen.append((aids[:keep], afps[:keep]))
+                    seen_rows += min(keep, aids.size)
             # store in arrival order while room remains (oldest kept)
             room = max_per_key - ids.size
-            if room > 0:
+            if room > 0 and nids.size:
                 ids = np.concatenate([ids, nids[:room]])
                 fps = np.concatenate([fps, nfps[:room]])
-        state.update((ids.tolist(), fps.tolist()))
-        if ttl_ms is not None:
+                changed = True
+        # write state only when membership changed: a full bucket seeing
+        # only overflow arrivals must not round-trip max_per_key rows
+        # through Python lists every micro-batch for a no-op
+        if changed:
+            state.update((ids.tolist(), fps.tolist()))
+        if ttl_ms is not None and (changed or state.exists):
             state.setTimeoutDuration(ttl_ms)
         if frames:
             yield pd.concat(frames, ignore_index=True).astype(
