@@ -158,10 +158,10 @@ def _bucket_fn(max_hamming: int, max_per_key: int, ttl_ms: int | None):
                     ii, jj = ii[keep], jj[keep]
                     if ii.size:
                         _emit(aids[ii], aids[jj], dnn[ii, jj], frames)
-                keep = max_per_key - seen_rows
-                if keep > 0:
-                    seen.append((aids[:keep], afps[:keep]))
-                    seen_rows += min(keep, aids.size)
+                seen_room = max_per_key - seen_rows
+                if seen_room > 0:
+                    seen.append((aids[:seen_room], afps[:seen_room]))
+                    seen_rows += min(seen_room, aids.size)
             # store in arrival order while room remains (oldest kept)
             room = max_per_key - ids.size
             if room > 0 and nids.size:
