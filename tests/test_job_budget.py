@@ -60,8 +60,9 @@ def test_simhash_pairs_job_budget(spark, corpus):
     )
     # r5 plan: fingerprint checkpoint whose materializing count IS the
     # adaptive-width probe (one job where r4 paid two) + rep-pair
-    # checkpoint + cap-stats finisher
-    assert n_construct <= 20, f"simhash construction ran {n_construct} jobs"
+    # checkpoint with the fingerprint riding the bucket rows (NO verify
+    # joins, no broadcast) + cap-stats finisher
+    assert n_construct <= 17, f"simhash construction ran {n_construct} jobs"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan and "Scan parquet" not in plan
     _, n_count = _jobs(spark, "sh-count", lambda: df.count())

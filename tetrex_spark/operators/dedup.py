@@ -238,10 +238,23 @@ def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
 
 def capped_candidate_pairs(
     buckets: DataFrame, max_bucket: int | None, *, log_drops: bool = True,
-    release: list | None = None,
+    release: list | None = None, payload_col: str | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from a (id, band, bh) bucket
     table, skipping buckets with more than `max_bucket` members.
+
+    `payload_col` names an extra bucket column to carry through the
+    self-join as `<payload>_a` / `<payload>_b` — for a FIXED-WIDTH
+    verify key (the 8-byte simhash fingerprint) this removes the two
+    verify joins entirely: the pair row arrives with both fingerprints
+    attached, paying `bands * 8` extra bytes of bucket shuffle instead
+    of a broadcast plus two join stages. (Do NOT use it for wide
+    payloads — the MinHash shingle sets would multiply the shuffle by
+    the band count; that family keeps the broadcast-join verify.)
+    `distinct=False` skips the candidate dedup so a caller with a
+    highly selective verify filter can dedup AFTER it, shuffling only
+    surviving pairs.
 
     The cap bounds the self-join at B buckets x max_bucket^2 pairs instead
     of the unbounded sum of bucket-size squares (one pathological bucket of
@@ -322,16 +335,24 @@ def capped_candidate_pairs(
 
         finishers.append(_log_and_release)
     x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.id") < F.col("y.id")),
+    cols = [F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")]
+    if payload_col:
+        cols += [
+            F.col(f"x.{payload_col}").alias(f"{payload_col}_a"),
+            F.col(f"y.{payload_col}").alias(f"{payload_col}_b"),
+        ]
+    cand = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bh") == F.col("y.bh"))
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(*cols)
+    if distinct:
+        # payload columns are functions of the ids — dedup on ids only
+        cand = (
+            cand.dropDuplicates(["id_a", "id_b"]) if payload_col
+            else cand.distinct()
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
     if finishers:
         if release is not None:
             release.extend(finishers)
@@ -612,8 +633,12 @@ def _expand_pairs(
 
     members: (grp, id) — every document and its exact-dup group key;
     rep_map: (rid, rgrp) — representative id → group key;
-    elig:    (grp) — groups eligible for intra pairs (size > 1, plus any
-             family-specific eligibility the caller encodes)."""
+    elig:    (grp) — groups eligible for intra pairs, or None when EVERY
+             group is eligible (the SimHash family: any same-fingerprint
+             group of size > 1 pairs, and singleton groups emit nothing
+             from a self-join anyway — skipping the eligibility join
+             saves a shuffle; MinHash keeps it for the shingle-
+             eligibility semantics)."""
     pairs_g = (
         F.broadcast(rep_pairs)
         .join(rep_map.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
@@ -633,7 +658,7 @@ def _expand_pairs(
             value_col,
         )
     )
-    mi = members.join(elig, "grp")
+    mi = members if elig is None else members.join(elig, "grp")
     xi, yi = mi.alias("xi"), mi.alias("yi")
     intra = (
         xi.join(
@@ -838,34 +863,45 @@ def simhash_pairs_from_fingerprints(
         # adaptive width (see simhash_pairs): this count is what
         # materializes the lazy checkpoint — never a second text scan
         n_blocks = 4 if sh.count() <= 200_000 else 6
+    # one representative per distinct fingerprint; the 8-byte fingerprint
+    # RIDES the bucket rows (payload_col) so the verify needs NO joins at
+    # all — each candidate pair arrives with both fingerprints attached
+    # (bands * 8 extra shuffle bytes vs the broadcast + two join stages
+    # the r4 plan paid), and the candidate dedup runs AFTER the
+    # bit_count filter, shuffling only surviving pairs
     groups = sh.groupBy("simhash").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("csize")
-    ).persist()
+    )
     buckets = groups.select(
-        "id",
+        "id", "simhash",
         F.explode(simhash_band_struct(n_blocks, max_hamming)).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(
+        "id", "simhash", F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
     handles: list = []
-    cand = capped_candidate_pairs(buckets, max_bucket, release=handles)
-    ga = groups.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    gb = groups.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = capped_candidate_pairs(
+        buckets, max_bucket, release=handles,
+        payload_col="simhash", distinct=False,
+    )
     rep_pairs = (
-        F.broadcast(cand).join(ga, "id_a").join(gb, "id_b")
-        .select(
+        cand.select(
             "id_a", "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint(eager=True)  # tiny: candidate-bounded
     )
     for fin in handles:
         fin()
     # rep_pairs is checkpointed; the remaining consumers (expansion's
     # rep->group map + eligibility) are cheap shuffles over the
-    # checkpointed fingerprint table, so the groups cache can go NOW.
-    # The member-level expansion stays LAZY — never eagerly
-    # materialized (it can be quadratic for giant dup clusters)
-    groups.unpersist()
+    # checkpointed fingerprint table. The member-level expansion stays
+    # LAZY — never eagerly materialized (it can be quadratic for giant
+    # dup clusters)
     if not expand_exact_dups:
         return rep_pairs
     return expand_simhash_rep_pairs(sh, rep_pairs)
@@ -910,8 +946,9 @@ def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     members = sh.select(F.col("simhash").alias("grp"), "id")
     rg = _rep_groups(members)
     rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
-    elig = rg.filter(F.col("csize") > 1).select("grp")
-    return _expand_pairs(members, rep_map, rep_pairs, "hamming", 0, elig)
+    # elig=None: every same-fingerprint group is intra-eligible (see
+    # _expand_pairs) — singleton groups emit nothing from the self-join
+    return _expand_pairs(members, rep_map, rep_pairs, "hamming", 0, None)
 
 
 # -- snapshot collapse --------------------------------------------------------
