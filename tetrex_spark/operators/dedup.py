@@ -425,15 +425,16 @@ def minhash_lsh_pairs(
 
     md5 collision risk for the pre-collapse is ~n^2/2^128 — far below the
     shingle-hash collision tolerance minhash itself assumes."""
-    members, rep_pairs, elig_ids = _minhash_rep_level(
+    members, rep_pairs, elig_ids, rg = _minhash_rep_level(
         df, k, num_perm, bands, threshold, text_col, id_col, max_bucket,
         with_elig=expand_exact_dups,
     )
     if not expand_exact_dups:
         return rep_pairs
     # 5. expand representative pairs to member pairs (cache-only plan —
-    # members is checkpointed; see expand_rep_pairs)
-    return expand_rep_pairs(members, rep_pairs, elig_ids)
+    # members and the rep-group aggregate are checkpointed; see
+    # expand_rep_pairs)
+    return expand_rep_pairs(members, rep_pairs, elig_ids, rg=rg)
 
 
 def _minhash_rep_level(
@@ -442,13 +443,15 @@ def _minhash_rep_level(
 ):
     """Steps 1-4 of minhash_lsh_pairs (pre-collapse, fused sig+set pass,
     capped blocking, exact verify), shared with minhash_lsh_edges.
-    Returns (members, checkpointed rep_pairs, elig_ids-or-None), where
-    `members` is a CHECKPOINTED (grp, id) frame when with_elig (else the
-    lazy docs derivation): the r4 revision re-derived (grp, id) from the
-    raw text in every expansion branch — ~4 parquet+md5 scans per
-    consuming action; checkpointing the ~40 B/doc integer/digest frame
-    once (linear, far smaller than the text it replaces) makes the whole
-    member-level expansion a cache-only plan.
+    Returns (members, checkpointed rep_pairs, elig_ids, rg), where
+    `members` is a CHECKPOINTED (grp, id) frame and `rg` the
+    checkpointed (grp, rid, csize) rep-group aggregate when with_elig
+    (else the lazy docs derivation and None): the r4 revision re-derived
+    (grp, id) from the raw text in every expansion branch — ~4
+    parquet+md5 scans per consuming action — and re-aggregated the rep
+    groups twice more; checkpointing the ~40 B/doc integer/digest frames
+    once (linear, far smaller than the text they replace) makes the
+    whole member-level expansion a cache-only plan.
 
     EXACTLY TWO eager jobs run here (plus one tiny cached-aggregate read
     in the cap-stats finisher — asserted by tests/test_clusters.py's job
@@ -481,6 +484,7 @@ def _minhash_rep_level(
             F.lit(None).cast("long").alias("id_b"),
             F.lit(None).cast("double").alias("jaccard"),
         ]
+        mem = docs.select("grp", "id")
         combined = (
             rp.select(F.lit(0).alias("part"),
                       F.lit(None).cast("string").alias("grp"),
@@ -490,8 +494,18 @@ def _minhash_rep_level(
                           F.lit(None).cast("string").alias("grp"),
                           F.col("id").alias("id_a"), *nulls))
             .unionByName(
-                docs.select(F.lit(2).alias("part"), "grp",
-                            F.col("id").alias("id_a"), *nulls))
+                mem.select(F.lit(2).alias("part"), "grp",
+                           F.col("id").alias("id_a"), *nulls))
+            .unionByName(
+                # the (grp -> rep id, member count) aggregate, computed
+                # once here instead of twice per consuming action in the
+                # expansion (rep_map + eligibility both need it)
+                _rep_groups(mem).select(
+                    F.lit(3).alias("part"), "grp",
+                    F.col("rid").alias("id_a"),
+                    F.col("csize").alias("id_b"),
+                    F.lit(None).cast("double").alias("jaccard"))
+            )
             .transform(lambda u: _compact(u, sizer=docs.select("grp", "id")))
             .localCheckpoint(eager=True)
         )
@@ -500,12 +514,15 @@ def _minhash_rep_level(
         members = combined.filter("part = 2").select(
             "grp", F.col("id_a").alias("id")
         )
+        rg = combined.filter("part = 3").select(
+            "grp", F.col("id_a").alias("rid"), F.col("id_b").alias("csize")
+        )
     else:
         rep_pairs = rp.localCheckpoint(eager=True)
-        elig_ids, members = None, docs
+        elig_ids, members, rg = None, docs, None
     for fin in handles:
         fin()
-    return members, rep_pairs, elig_ids
+    return members, rep_pairs, elig_ids, rg
 
 
 def minhash_lsh_edges(
@@ -527,12 +544,12 @@ def minhash_lsh_edges(
     clusters.connected_components / dedup_keep_list; keep
     minhash_lsh_pairs for consumers that need the actual pair list with
     jaccard values."""
-    members, rep_pairs, elig_ids = _minhash_rep_level(
+    members, rep_pairs, elig_ids, rg = _minhash_rep_level(
         df, k, num_perm, bands, threshold, text_col, id_col, max_bucket,
         with_elig=True,
     )
     members = members.select("grp", "id")
-    elig_groups = _rep_groups(members).filter(F.col("csize") > 1).join(
+    elig_groups = rg.filter(F.col("csize") > 1).join(
         elig_ids.select(F.col("id").alias("rid")), "rid"
     )
     # star branch FIRST: with the checkpointed rep_pairs frame as the
@@ -676,7 +693,8 @@ def _expand_pairs(
 
 
 def expand_rep_pairs(
-    docs: DataFrame, rep_pairs: DataFrame, elig_ids: DataFrame
+    docs: DataFrame, rep_pairs: DataFrame, elig_ids: DataFrame,
+    rg: DataFrame | None = None,
 ) -> DataFrame:
     """Expand verified representative pairs to member pairs: cross-group
     pairs inherit the representatives' jaccard (identical normalized text
@@ -692,9 +710,14 @@ def expand_rep_pairs(
     a shingle set (i.e. have a sig row — normalized text has >= k
     tokens): docs without shingles have no jaccard to anything, matching
     the exact oracle; callers pass the (tiny, checkpointed) id column of
-    the sig/set table rather than re-deriving the predicate from text."""
+    the sig/set table rather than re-deriving the predicate from text.
+    `rg` is the optional pre-checkpointed (grp, rid, csize) rep-group
+    aggregate — when given (minhash_lsh_pairs passes the part-3 slice of
+    its fused checkpoint), the two consumers below read it from cache
+    instead of re-running the groupBy per action."""
     members = docs.select("grp", "id")
-    rg = _rep_groups(members)
+    if rg is None:
+        rg = _rep_groups(members)
     rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
     # intra eligibility: groups of size > 1 whose rep is shingle-eligible
     elig = rg.filter(F.col("csize") > 1).join(
