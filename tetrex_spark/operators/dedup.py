@@ -867,19 +867,40 @@ def simhash_pairs_from_fingerprints(
     candidate-bounded) rep-level pairs are computed and checkpointed,
     then released — no storage leak across repeated calls. The
     member-level expansion stays LAZY (it can be quadratic for giant dup
-    clusters — never eagerly materialized here) and re-derives its small
-    group frames from the checkpointed fingerprints at consumption; at
+    clusters — never eagerly materialized here) and reads its small
+    group frames from the fused checkpoint (see _simhash_rep_level); at
     10^12-doc scale use expand_exact_dups=False (rep-level pairs + the
     dup-groups table) as documented on minhash_lsh_pairs."""
+    sh, rep_pairs, rg = _simhash_rep_level(
+        sh, max_hamming, n_blocks, max_bucket,
+        with_groups=expand_exact_dups,
+    )
+    if not expand_exact_dups:
+        return rep_pairs
+    return expand_simhash_rep_pairs(sh, rep_pairs, rg=rg)
+
+
+def _simhash_rep_level(
+    sh: DataFrame, max_hamming: int, n_blocks: int | None,
+    max_bucket: int | None, *, with_groups: bool,
+):
+    """Blocking + verify shared by simhash_pairs_from_fingerprints and
+    simhash_edges_from_fingerprints. Returns (checkpointed sh,
+    rep_pairs, rg) where rg is the (grp, rid, csize) rep-group aggregate
+    when with_groups (else None) — fused into the SAME localCheckpoint
+    as rep_pairs (part-tagged union, the minhash _minhash_rep_level
+    pattern): every expansion/eligibility consumer reads the groupBy
+    result from cache instead of re-shuffling the fingerprint table per
+    plan branch (rep_map is joined twice in _expand_pairs alone)."""
     # materialize the fingerprint table ONCE (localCheckpoint — linear,
-    # ~16 B/doc, nothing like the quadratic member-pair list): five plan
-    # branches (buckets, both verify sides, rep->group map, eligibility,
-    # member expansion) all read it without ever re-running the simhash
-    # kernel pass; the checkpoint blocks are freed when the returned
-    # frame is garbage-collected. With adaptive width the checkpoint is
-    # LAZY and the count() both materializes it and returns the size —
-    # ONE job where the r4 shape paid an eager checkpoint plus a
-    # separate cache-scan count.
+    # ~16 B/doc, nothing like the quadratic member-pair list): the plan
+    # branches (buckets, rep->group aggregate, member expansion) all
+    # read it without ever re-running the simhash kernel pass; the
+    # checkpoint blocks are freed when the returned frame is
+    # garbage-collected. With adaptive width the checkpoint is LAZY and
+    # the count() both materializes it and returns the size — ONE job
+    # where the r4 shape paid an eager checkpoint plus a separate
+    # cache-scan count.
     if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
         sh = sh.localCheckpoint(eager=n_blocks is not None)
     if n_blocks is None:
@@ -907,7 +928,7 @@ def simhash_pairs_from_fingerprints(
         buckets, max_bucket, release=handles,
         payload_col="simhash", distinct=False,
     )
-    rep_pairs = (
+    rp = (
         cand.select(
             "id_a", "id_b",
             F.bit_count(
@@ -916,18 +937,35 @@ def simhash_pairs_from_fingerprints(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-        .localCheckpoint(eager=True)  # tiny: candidate-bounded
     )
+    if with_groups:
+        mem = sh.select(F.col("simhash").alias("grp"), "id")
+        combined = (
+            rp.select(F.lit(0).alias("part"),
+                      F.lit(None).cast("long").alias("grp"),
+                      "id_a", "id_b", "hamming")
+            .unionByName(
+                _rep_groups(mem).select(
+                    F.lit(1).alias("part"), "grp",
+                    F.col("rid").alias("id_a"),
+                    F.col("csize").alias("id_b"),
+                    F.lit(None).cast("int").alias("hamming"))
+            )
+            .transform(lambda u: _compact(u, sizer=mem))
+            .localCheckpoint(eager=True)  # rep_pairs candidate-bounded,
+        )                                 # rg ~24 B/distinct fingerprint
+        rep_pairs = combined.filter("part = 0").select(
+            "id_a", "id_b", "hamming"
+        )
+        rg = combined.filter("part = 1").select(
+            "grp", F.col("id_a").alias("rid"), F.col("id_b").alias("csize")
+        )
+    else:
+        rep_pairs = rp.localCheckpoint(eager=True)  # tiny: cand-bounded
+        rg = None
     for fin in handles:
         fin()
-    # rep_pairs is checkpointed; the remaining consumers (expansion's
-    # rep->group map + eligibility) are cheap shuffles over the
-    # checkpointed fingerprint table. The member-level expansion stays
-    # LAZY — never eagerly materialized (it can be quadratic for giant
-    # dup clusters)
-    if not expand_exact_dups:
-        return rep_pairs
-    return expand_simhash_rep_pairs(sh, rep_pairs)
+    return sh, rep_pairs, rg
 
 
 def simhash_edges_from_fingerprints(
@@ -945,29 +983,33 @@ def simhash_edges_from_fingerprints(
     # materialize the fingerprint table ONCE for BOTH branches — passing
     # raw simhash(df) output here must not run the text kernel twice
     # (the pairs path checkpoints only its local copy)
-    if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
-        sh = sh.localCheckpoint(eager=True)
-    rep_pairs = simhash_pairs_from_fingerprints(
-        sh, max_hamming, n_blocks=n_blocks, max_bucket=max_bucket,
-        expand_exact_dups=False,
+    sh, rep_pairs, rg = _simhash_rep_level(
+        sh, max_hamming, n_blocks, max_bucket, with_groups=True,
     )
     members = sh.select(F.col("simhash").alias("grp"), "id")
-    elig_groups = _rep_groups(members).filter(F.col("csize") > 1)
+    elig_groups = rg.filter(F.col("csize") > 1)
     return _star_edges(members, elig_groups).unionByName(
         rep_pairs.select("id_a", "id_b")
     )
 
 
-def expand_simhash_rep_pairs(sh: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+def expand_simhash_rep_pairs(
+    sh: DataFrame, rep_pairs: DataFrame, rg: DataFrame | None = None,
+) -> DataFrame:
     """Expand rep-level SimHash pairs to member pairs from a fingerprint
     table (id, simhash): cross-group pairs inherit the representatives'
     hamming (equal simhash => equal distance to everything); intra-group
     pairs are hamming 0. Integer shuffles only; shared by the batch path
     and the checkpointed pipeline's resume leg (which reads `sh` and
     `rep_pairs` straight from stored chunks). Join choreography lives in
-    _expand_pairs (one implementation for both dedup families)."""
+    _expand_pairs (one implementation for both dedup families). `rg` is
+    the optional pre-checkpointed (grp, rid, csize) rep-group aggregate
+    (_simhash_rep_level passes its fused-checkpoint slice); when absent
+    — the lineage resume leg, which has only stored chunks — it is
+    derived here once per consuming action."""
     members = sh.select(F.col("simhash").alias("grp"), "id")
-    rg = _rep_groups(members)
+    if rg is None:
+        rg = _rep_groups(members)
     rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
     # elig=None: every same-fingerprint group is intra-eligible (see
     # _expand_pairs) — singleton groups emit nothing from the self-join
