@@ -786,6 +786,23 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2021): for every cross-doc pair
+    sharing an exact normalized span >= 40 chars, the longest such span
+    (length + 1-based positions, ties to the smallest positions).
+    Winnowing anchors -> capped buckets -> exact extension verify
+    (operators/substring.py); DuckDB re-derives the full contract as an
+    L-gram equi-join + diagonal-run (islands) query — value-hash checks
+    lengths AND positions, not just the pair list. Uncapped here so the
+    oracle's exhaustive pair set is the exact target (cap semantics are
+    covered by tests/test_substring.py)."""
+    from tetrex_spark.operators.substring import substring_dup_spans
+
+    return substring_dup_spans(
+        _docs(spark, sf_dir), min_len=40, max_bucket=None
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "motif_regex": q_motif_regex,
@@ -823,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gram hashes + window minima for fingerprints; per-token hashes +
         # bit-majority votes + brute-force hamming join for simhash
         "fingerprints": q_fingerprints,
+        # oracle-checked: L-gram diagonal-run (islands) re-derivation of
+        # the longest shared span per pair, lengths AND positions
+        "substring_spans": q_substring_spans,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -977,6 +997,41 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SQL,
         "host_stats": _HOST_STATS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
+        # substring_spans: every 40-gram of the normalized text,
+        # equi-joined across docs; consecutive matches on one diagonal
+        # (ia - ib) form an island whose run length r is a shared span
+        # of r + 39 chars; per pair keep the longest (ties -> smallest
+        # positions). The 100000 series bound safely exceeds any sf0.01
+        # doc length (max raw length 553).
+        "substring_spans": f"""
+            with docs as (select doc_id, {_NORM_SQL_DUCK} as t from documents),
+            grams as (
+              select doc_id, i, substr(t, i, 40) as g
+              from docs join generate_series(1, 100000) s(i)
+                on i <= length(t) - 39
+            ),
+            m as (
+              select a.doc_id as id_a, b.doc_id as id_b, a.i as ia, b.i as ib
+              from grams a join grams b
+                on a.g = b.g and a.doc_id < b.doc_id
+            ),
+            runs as (
+              select id_a, id_b, ia, ib, ia - ib as diag,
+                     ia - row_number() over (
+                       partition by id_a, id_b, ia - ib order by ia) as isl
+              from m
+            ),
+            spans as (
+              select id_a, id_b,
+                     (count(*) + 39)::bigint as match_len,
+                     min(ia)::bigint as pos_a, min(ib)::bigint as pos_b
+              from runs group by id_a, id_b, diag, isl
+            )
+            select id_a, id_b, match_len, pos_a, pos_b from spans
+            qualify row_number() over (
+              partition by id_a, id_b
+              order by match_len desc, pos_a, pos_b) = 1
+        """,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "streaming_simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -247,6 +247,7 @@ def main() -> None:
         "embedding_near_dup",
         "simhash_pairs",
         "fingerprints",
+        "substring_spans",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
