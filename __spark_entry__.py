@@ -48,6 +48,34 @@ from tetrex_spark.functions.analysis import BPE_PRETOKEN_RE as _BPE_RE  # noqa: 
 
 _BPE_SQL = _BPE_RE.replace("'", "''")
 
+# Shared islands derivation for the substring-dedup oracles: all maximal
+# cross-doc shared spans >= 40 normalized chars, as >= 1-long runs of
+# matching 40-grams on one diagonal (ia - ib) of the match matrix.
+_SPAN_CTE_SQL = f"""
+            with docs as (select doc_id, {_NORM_SQL_DUCK} as t from documents),
+            grams as (
+              select doc_id, i, substr(t, i, 40) as g
+              from docs join generate_series(1, 100000) s(i)
+                on i <= length(t) - 39
+            ),
+            m as (
+              select a.doc_id as id_a, b.doc_id as id_b, a.i as ia, b.i as ib
+              from grams a join grams b
+                on a.g = b.g and a.doc_id < b.doc_id
+            ),
+            runs as (
+              select id_a, id_b, ia, ib, ia - ib as diag,
+                     ia - row_number() over (
+                       partition by id_a, id_b, ia - ib order by ia) as isl
+              from m
+            ),
+            spans as (
+              select id_a, id_b,
+                     (count(*) + 39)::bigint as match_len,
+                     min(ia)::bigint as pos_a, min(ib)::bigint as pos_b
+              from runs group by id_a, id_b, diag, isl
+            )"""
+
 _index_cache: dict[str, object] = {}
 
 
@@ -803,6 +831,18 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup curation ACTION (Lee et al. 2021): every doc
+    with the chars of any >= 40-char span shared with a smaller doc_id
+    removed (the lowest-id copy survives; non-cascading single pass over
+    the original corpus). DuckDB re-derives it as all islands -> per-
+    char covered test -> string_agg reassembly — the value hash checks
+    every byte of every cleaned document."""
+    from tetrex_spark.operators.substring import strip_dup_spans
+
+    return strip_dup_spans(_docs(spark, sf_dir), min_len=40, max_bucket=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "motif_regex": q_motif_regex,
@@ -843,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: L-gram diagonal-run (islands) re-derivation of
         # the longest shared span per pair, lengths AND positions
         "substring_spans": q_substring_spans,
+        # oracle-checked: per-char coverage re-derivation; value hash
+        # covers every byte of every cleaned document
+        "strip_dup_spans": q_strip_dup_spans,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1004,33 +1047,37 @@ def oracle_sql() -> dict[str, str]:
         # positions). The 100000 series bound safely exceeds any sf0.01
         # doc length (max raw length 553).
         "substring_spans": f"""
-            with docs as (select doc_id, {_NORM_SQL_DUCK} as t from documents),
-            grams as (
-              select doc_id, i, substr(t, i, 40) as g
-              from docs join generate_series(1, 100000) s(i)
-                on i <= length(t) - 39
-            ),
-            m as (
-              select a.doc_id as id_a, b.doc_id as id_b, a.i as ia, b.i as ib
-              from grams a join grams b
-                on a.g = b.g and a.doc_id < b.doc_id
-            ),
-            runs as (
-              select id_a, id_b, ia, ib, ia - ib as diag,
-                     ia - row_number() over (
-                       partition by id_a, id_b, ia - ib order by ia) as isl
-              from m
-            ),
-            spans as (
-              select id_a, id_b,
-                     (count(*) + 39)::bigint as match_len,
-                     min(ia)::bigint as pos_a, min(ib)::bigint as pos_b
-              from runs group by id_a, id_b, diag, isl
-            )
+            {_SPAN_CTE_SQL}
             select id_a, id_b, match_len, pos_a, pos_b from spans
             qualify row_number() over (
               partition by id_a, id_b
               order by match_len desc, pos_a, pos_b) = 1
+        """,
+        # strip_dup_spans: same islands derivation, ALL spans; a char of
+        # doc b is removed iff covered by a span shared with any a < b
+        # (the lowest-id copy survives); docs with no removals (or no
+        # text) pass through normalized (resp. empty).
+        "strip_dup_spans": f"""
+            {_SPAN_CTE_SQL},
+            chars as (
+              select d.doc_id, s.i, substr(d.t, s.i, 1) as ch
+              from docs d join generate_series(1, 100000) s(i)
+                on s.i <= length(d.t)
+            ),
+            kept as (
+              select c.doc_id, c.i, c.ch from chars c
+              where not exists (
+                select 1 from spans v
+                where v.id_b = c.doc_id
+                  and c.i >= v.pos_b and c.i < v.pos_b + v.match_len
+              )
+            ),
+            agg as (
+              select doc_id, string_agg(ch, '' order by i) as clean_text
+              from kept group by doc_id
+            )
+            select d.doc_id, coalesce(a.clean_text, '') as clean_text
+            from docs d left join agg a using (doc_id)
         """,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,

@@ -248,6 +248,7 @@ def main() -> None:
         "simhash_pairs",
         "fingerprints",
         "substring_spans",
+        "strip_dup_spans",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

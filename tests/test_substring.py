@@ -146,6 +146,123 @@ def test_deterministic_across_partitionings(spark):
     )
 
 
+def _all_spans_oracle(a, b, min_len):
+    """Islands oracle: every maximal shared span >= min_len between two
+    normalized texts = the >= min_len diagonal runs of the exact char
+    match matrix, stated via L-gram matches exactly like the DuckDB
+    driver oracle. Returns {(len, pos_a, pos_b)} 1-based."""
+    a, b = _norm(a), _norm(b)
+    L = min_len
+    grams = {}
+    for j in range(len(b) - L + 1):
+        grams.setdefault(b[j:j + L], []).append(j)
+    by_diag = {}
+    for i in range(len(a) - L + 1):
+        for j in grams.get(a[i:i + L], ()):
+            by_diag.setdefault(i - j, []).append(i)
+    out = set()
+    for d, pos in by_diag.items():
+        pos.sort()
+        run_start = prev = pos[0]
+        for i in pos[1:] + [None]:
+            if i is not None and i == prev + 1:
+                prev = i
+                continue
+            out.add((prev - run_start + L, run_start + 1, run_start - d + 1))
+            if i is not None:
+                run_start = prev = i
+    return out
+
+
+REPEAT_DOC = f"start {BOILER} middle part {BOILER} closing remarks"
+
+
+def test_all_spans_matches_islands_oracle(spark):
+    from tetrex_spark.operators.substring import substring_dup_spans
+
+    rows = [
+        (1, f"alpha page {BOILER} tail one"),
+        (2, REPEAT_DOC),                       # 1x2 alignment grid vs 1
+        (3, f"third page also quotes {BOILER} here"),
+        (4, "unrelated filler text " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in substring_dup_spans(df, 40, 16, all_spans=True).collect():
+        got.setdefault((r["id_a"], r["id_b"]), set()).add(
+            (r["match_len"], r["pos_a"], r["pos_b"])
+        )
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            s = _all_spans_oracle(rows[i][1], rows[j][1], 40)
+            if s:
+                want[(rows[i][0], rows[j][0])] = s
+    assert got == want
+    assert len(got[(1, 2)]) == 2  # both copies in doc 2 aligned to doc 1
+
+
+def test_strip_dup_spans_removes_later_copies(spark):
+    """Lowest-id copy survives; every covered char in higher ids is cut;
+    docs outside any pair pass through normalized; None/empty -> ''."""
+    from tetrex_spark.operators.substring import strip_dup_spans
+
+    rows = [
+        (1, f"alpha page {BOILER} tail one"),
+        (2, REPEAT_DOC),
+        (3, f"third page also quotes {BOILER} here"),
+        (4, "unrelated filler text " * 6),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in strip_dup_spans(df, 40, 16).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1] == _norm(rows[0][1])          # lowest id keeps its copy
+    assert BOILER not in got[2] and BOILER not in got[3]
+    assert got[4] == _norm(rows[3][1])
+    assert got[5] == "" and got[6] == ""
+    # non-cascading one-pass contract: coverage from ORIGINAL text — the
+    # exact removed intervals are the all-spans islands vs smaller ids
+    for did, raw in [(2, rows[1][1]), (3, rows[2][1])]:
+        t = _norm(raw)
+        keep = np.ones(len(t), dtype=bool)
+        for sid, sraw in [r for r in rows[:4] if r[0] < did]:
+            for l, _, pb in _all_spans_oracle(sraw, raw, 40):
+                keep[pb - 1:pb - 1 + l] = False
+        assert got[did] == "".join(c for c, k0 in zip(t, keep) if k0)
+
+
+def test_cli_stripdup_end_to_end(spark, tmp_path, capsys):
+    """`tetrex_spark stripdup` on a string-keyed corpus: spans/ + clean/
+    written; the boilerplate span survives in exactly one of the two
+    planted docs (the smaller xxhash64 key), the other is cut."""
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.cli import main
+    from tetrex_spark.sources.corpus import webtext_small
+
+    corpus = webtext_small(spark).limit(20)
+    two = corpus.limit(2).withColumn(
+        "text", F.concat(F.lit(BOILER + " and then "), F.col("text"))
+    ).withColumn("url", F.concat(F.col("url"), F.lit("-planted")))
+    corpus_path = str(tmp_path / "corpus")
+    corpus.unionByName(two).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "strip_out")
+    rc = main(["stripdup", "--corpus", corpus_path, "--output", out_dir,
+               "--id-col", "url"])
+    assert rc == 0
+    assert "duplicated spans" in capsys.readouterr().out
+    clean = {r["url"]: r["clean_text"]
+             for r in spark.read.parquet(f"{out_dir}/clean").collect()}
+    assert len(clean) == 22
+    planted = [u for u in clean if u.endswith("-planted")]
+    kept = [u for u in planted if BOILER in clean[u]]
+    assert len(kept) == 1  # exactly one copy survives
+    assert spark.read.parquet(f"{out_dir}/spans").count() >= 1
+
+
 def test_min_len_validation(spark):
     from tetrex_spark.operators.substring import substring_dup_spans
 

@@ -276,6 +276,56 @@ def cmd_embdedup(args) -> int:
     return 0
 
 
+def cmd_stripdup(args) -> int:
+    """Substring-level dedup curation (Lee et al. 2021): write every
+    maximal cross-doc shared span >= --min-len chars (spans/) and the
+    cleaned corpus with all later copies of each span removed (clean/,
+    lowest doc key survives). Span discovery runs ONCE; the committed
+    spans/ parquet feeds the cleaning pass. The surviving copy is picked
+    by the smallest doc key: the id column itself when integral, else a
+    deterministic xxhash64 of it (stable but arbitrary precedence)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .operators.substring import strip_dup_spans, substring_dup_spans
+
+    spark = _spark("stripdup")
+    corpus = read_corpus(spark, args.corpus)
+    integral = isinstance(
+        corpus.schema[args.id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    keyed = corpus.withColumn(
+        "_did",
+        F.col(args.id_col).cast("long") if integral
+        else F.xxhash64(F.col(args.id_col)),
+    )
+    spans = substring_dup_spans(
+        keyed, args.min_len, args.k, max_bucket=args.max_bucket,
+        all_spans=True, text_col=args.text_col, id_col="_did",
+    )
+    spans.write.mode("overwrite").parquet(f"{args.output}/spans")
+    stored = spark.read.parquet(f"{args.output}/spans")
+    clean = strip_dup_spans(
+        keyed, args.min_len, args.k, spans=stored,
+        text_col=args.text_col, id_col="_did",
+    )
+    if integral:
+        out = clean.withColumnRenamed("doc_id", args.id_col)
+    else:
+        ids = keyed.select("_did", args.id_col)
+        out = clean.join(
+            ids, clean["doc_id"] == ids["_did"]
+        ).select(args.id_col, "clean_text")
+    out.write.mode("overwrite").parquet(f"{args.output}/clean")
+    n_docs = spark.read.parquet(f"{args.output}/clean").count()
+    print(
+        f"Stripped {stored.count()} duplicated spans "
+        f"across {n_docs} documents."
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tetrex_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -359,6 +409,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="expert override (give with --n-planes)")
     pe.add_argument("--chunks", type=int, default=8)
     pe.set_defaults(fn=cmd_embdedup)
+
+    ps = sub.add_parser("stripdup")
+    ps.add_argument("--corpus", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--id-col", default="doc_id")
+    ps.add_argument("--text-col", default="text")
+    ps.add_argument("--min-len", type=int, default=40,
+                    help="minimum duplicated span length (normalized chars)")
+    ps.add_argument("--k", type=int, default=None,
+                    help="anchor gram size (default min(32, min_len))")
+    ps.add_argument("--max-bucket", type=int, default=512,
+                    help="anchor bucket cap; over-cap buckets are "
+                         "warn-logged and dropped")
+    ps.set_defaults(fn=cmd_stripdup)
 
     args = p.parse_args(argv)
     return args.fn(args)

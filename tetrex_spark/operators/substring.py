@@ -127,13 +127,17 @@ def winnow_anchor_rows(
     return df.select(id_col, text_col).mapInPandas(fn, _ANCHOR_SCHEMA)
 
 
-def _extend_fn(k: int, min_len: int):
+def _extend_fn(k: int, min_len: int, all_spans: bool = False):
     """Arrow-pass span extension: for each (pair, anchors, text_a,
     text_b) row, extend every anchor alignment to its maximal exact
-    shared span by byte comparison on the normalized texts; emit the
-    pair's best span (max length; ties to the smallest (pos_a, pos_b))
-    when it reaches min_len. Extension cost is O(span length) per
-    anchor over numpy byte arrays — no quadratic scan."""
+    shared span by byte comparison on the normalized texts. Default:
+    emit the pair's best span (max length; ties to the smallest
+    (pos_a, pos_b)) when it reaches min_len. With ``all_spans``: emit
+    EVERY distinct maximal span >= min_len (multiple anchors inside one
+    span dedupe to the same maximal triple; spans on different
+    diagonals — e.g. a boilerplate block repeated within one doc — are
+    distinct rows). Extension cost is O(span length) per anchor over
+    numpy byte arrays — no quadratic scan."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,6 +149,7 @@ def _extend_fn(k: int, min_len: int):
                 ta = np.frombuffer(na.iat[i].encode(), dtype=np.uint8)
                 tb = np.frombuffer(nb.iat[i].encode(), dtype=np.uint8)
                 best = None  # (-len, pa, pb)
+                spans: set[tuple[int, int, int]] = set()
                 for anc in pdf["anchors"].iat[i]:
                     pa, pb = int(anc["pos_a"]), int(anc["pos_b"])
                     if not np.array_equal(ta[pa:pa + k], tb[pb:pb + k]):
@@ -160,13 +165,24 @@ def _extend_fn(k: int, min_len: int):
                     ne = np.nonzero(ra[:n] != rb[:n])[0]
                     left = int(ne[0]) if ne.size else n
                     cand = (-(k + left + right), pa - left, pb - left)
-                    if best is None or cand < best:
+                    if all_spans:
+                        if -cand[0] >= min_len:
+                            spans.add(cand)
+                    elif best is None or cand < best:
                         best = cand
-                if best is not None and -best[0] >= min_len:
-                    out_a.append(int(pdf["id_a"].iat[i]))
-                    out_b.append(int(pdf["id_b"].iat[i]))
+                ia, ib = int(pdf["id_a"].iat[i]), int(pdf["id_b"].iat[i])
+                if all_spans:
+                    for neg_l, pa, pb in sorted(spans):
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_l.append(-neg_l)
+                        out_pa.append(pa + 1)  # 1-based (SQL substr)
+                        out_pb.append(pb + 1)
+                elif best is not None and -best[0] >= min_len:
+                    out_a.append(ia)
+                    out_b.append(ib)
                     out_l.append(-best[0])
-                    out_pa.append(best[1] + 1)  # 1-based (SQL substr)
+                    out_pa.append(best[1] + 1)
                     out_pb.append(best[2] + 1)
             yield pd.DataFrame(
                 {
@@ -180,13 +196,18 @@ def _extend_fn(k: int, min_len: int):
 
 def substring_dup_spans(
     df: DataFrame, min_len: int = 40, k: int | None = None, *,
-    max_bucket: int | None = 512,
+    max_bucket: int | None = 512, all_spans: bool = False,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """(id_a, id_b, match_len, pos_a, pos_b): for every cross-document
     pair sharing an exact normalized-text span of >= min_len chars, the
     LONGEST such span (ties broken to the smallest (pos_a, pos_b);
-    positions 1-based into the normalized texts, id_a < id_b).
+    positions 1-based into the normalized texts, id_a < id_b). With
+    ``all_spans=True``, EVERY maximal shared span >= min_len instead —
+    one row per span occurrence-pair (the input `strip_dup_spans`
+    consumes; equals the >= min_len diagonal runs of the gram match
+    matrix, so a block repeated r times across the two docs yields its
+    full r_a x r_b alignment grid).
 
     Winnowing anchors (recall 1 for qualifying spans, see module doc) →
     size-capped hash buckets (over-cap buckets warn-logged and dropped,
@@ -234,4 +255,79 @@ def substring_dup_spans(
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
     joined = F.broadcast(pair_anchors).join(ta, "id_a").join(tb, "id_b")
-    return joined.mapInPandas(_extend_fn(k, min_len), _SPAN_SCHEMA)
+    return joined.mapInPandas(_extend_fn(k, min_len, all_spans), _SPAN_SCHEMA)
+
+
+_CLEAN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("clean_text", T.StringType()),
+    ]
+)
+
+
+def strip_dup_spans(
+    df: DataFrame, min_len: int = 40, k: int | None = None, *,
+    max_bucket: int | None = 512, spans: DataFrame | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation ACTION substring dedup exists for (Lee et al. 2021
+    remove all-but-one copy of each duplicated span): (doc_id,
+    clean_text) for EVERY input doc, where clean_text is the normalized
+    text with every char removed that lies inside a maximal shared span
+    (>= min_len) with any SMALLER doc_id — the first (lowest-id) copy of
+    each duplicated span survives, later copies are cut. One pass over
+    the ORIGINAL corpus (non-cascading by design: coverage is computed
+    on the input text, so the result is deterministic and independent of
+    evaluation order — a cascade would make doc C's text depend on what
+    was already cut from B). Same-doc internal repeats are untouched
+    (cross-document dedup only).
+
+    Plan: all-spans discovery (see substring_dup_spans) → per-doc
+    coverage intervals aggregated JVM-side (spans are candidate-bounded,
+    so the interval table is small and BROADCAST) → one Arrow pass
+    splices each doc's uncovered bytes back together. The corpus is
+    scanned once and never shuffled.
+
+    `spans` short-circuits discovery with an existing all-spans table
+    (id_b, pos_b, match_len cols; e.g. one already written to parquet by
+    the stripdup CLI) so span discovery is paid once, not per consumer."""
+    if spans is None:
+        spans = substring_dup_spans(
+            df, min_len, k, max_bucket=max_bucket, all_spans=True,
+            text_col=text_col, id_col=id_col,
+        )
+    cover = (
+        spans.groupBy(F.col("id_b").alias("__cid"))
+        .agg(
+            F.collect_list(F.struct("pos_b", "match_len")).alias("__cover")
+        )
+    )
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
+    joined = src.join(
+        F.broadcast(cover), src["doc_id"] == cover["__cid"], "left"
+    ).drop("__cid")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            norm = normalize_series(pdf[text_col])
+            out = []
+            for i in range(len(pdf)):
+                t = norm.iat[i]
+                cov = pdf["__cover"].iat[i]
+                if cov is None or len(cov) == 0:
+                    out.append(t)
+                    continue
+                b = np.frombuffer(t.encode(), dtype=np.uint8)
+                keep = np.ones(b.size, dtype=bool)
+                for iv in cov:
+                    s = int(iv["pos_b"]) - 1  # 1-based → 0-based
+                    keep[s:s + int(iv["match_len"])] = False
+                out.append(bytes(b[keep]).decode())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "clean_text": out}
+            )
+
+    return joined.mapInPandas(fn, _CLEAN_SCHEMA)
