@@ -45,6 +45,7 @@ HP_TWIN_EPS = 0.01
 _NORM_SQL_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 from tetrex_spark.functions.analysis import BPE_PRETOKEN_RE as _BPE_RE  # noqa: E402
+from tetrex_spark.functions.sampling import hex_threshold as _hex_threshold  # noqa: E402
 
 _BPE_SQL = _BPE_RE.replace("'", "''")
 
@@ -843,6 +844,30 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_dup_spans(_docs(spark, sf_dir), min_len=40, max_bucket=None)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-stable train/val/test assignment (80/10/10): each doc's
+    split is a pure function of md5(salt ':' doc_id) vs cumulative
+    hex thresholds — no RNG state, no row-order or partitioning
+    dependence, so growing the corpus never reassigns existing docs.
+    Pure JVM CASE expression inside the scan; DuckDB re-derives the
+    same digest comparison independently (functions/sampling.py)."""
+    from tetrex_spark.functions.sampling import deterministic_split
+
+    return deterministic_split(
+        _docs(spark, sf_dir), salt="r5"
+    ).select("doc_id", "split")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% downsample: keep doc_ids whose digest falls
+    below floor(0.2 * 2^128). A pure row predicate (reproducible across
+    runs and partitionings; nested rates compose) — unlike
+    DataFrame.sample, which depends on partition layout."""
+    from tetrex_spark.functions.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.2, salt="r5").select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "motif_regex": q_motif_regex,
@@ -886,6 +911,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: per-char coverage re-derivation; value hash
         # covers every byte of every cleaned document
         "strip_dup_spans": q_strip_dup_spans,
+        # oracle-checked: DuckDB computes the same md5-vs-threshold
+        # comparison independently — every assignment value-hashed
+        "dataset_split": q_dataset_split,
+        "hash_sample": q_hash_sample,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1078,6 +1107,24 @@ def oracle_sql() -> dict[str, str]:
             )
             select d.doc_id, coalesce(a.clean_text, '') as clean_text
             from docs d left join agg a using (doc_id)
+        """,
+        # dataset_split / hash_sample: DuckDB's md5() yields the same 32
+        # lowercase hex chars as Spark's, so the split is re-derived by
+        # the identical digest-vs-threshold comparison; the thresholds
+        # are the library's own closed form (floor(f * 2^128) as hex).
+        "dataset_split": f"""
+            select doc_id,
+                   case when md5('r5:' || cast(doc_id as varchar))
+                             < '{_hex_threshold(0.8)}' then 'train'
+                        when md5('r5:' || cast(doc_id as varchar))
+                             < '{_hex_threshold(0.9)}' then 'val'
+                        else 'test' end as split
+            from documents
+        """,
+        "hash_sample": f"""
+            select doc_id from documents
+            where md5('r5:' || cast(doc_id as varchar))
+                  < '{_hex_threshold(0.2)}'
         """,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,

@@ -249,6 +249,7 @@ def main() -> None:
         "fingerprints",
         "substring_spans",
         "strip_dup_spans",
+        "dataset_split",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -1,0 +1,128 @@
+"""Deterministic splitting / sampling (functions/sampling.py).
+
+The contract is reproducibility as a pure function of (key, salt):
+cross-engine agreement with Python's hashlib, append stability under
+corpus growth, nested-sample containment, and partitioning
+independence. Counterpart of the reference's reproducible builds
+(TetRex index = pure function of corpus + params, include/index.h).
+"""
+
+import hashlib
+
+import pytest
+
+from tetrex_spark.functions.sampling import (
+    deterministic_split,
+    hash_sample,
+    hex_threshold,
+)
+
+
+def _py_split(key, fractions, salt=""):
+    """Independent Python re-derivation of the split assignment."""
+    d = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        if d < hex_threshold(cum):
+            return name
+    return names[-1]
+
+
+def _ids(spark, n, parts=4):
+    return spark.range(0, n, 1, parts).withColumnRenamed("id", "doc_id")
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "0" * 32
+    assert hex_threshold(1.0) == "f" * 32
+    assert hex_threshold(0.5) == "8" + "0" * 31
+    with pytest.raises(ValueError):
+        hex_threshold(-0.1)
+    with pytest.raises(ValueError):
+        hex_threshold(1.1)
+
+
+def test_split_matches_hashlib(spark):
+    """Spark's md5 CASE assignment == an independent hashlib
+    re-derivation, for every row and a non-default salt."""
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(_ids(spark, 300), fr, salt="s1").collect()
+    }
+    assert len(got) == 300
+    for k, v in got.items():
+        assert v == _py_split(k, fr, "s1")
+
+
+def test_append_stable(spark):
+    """Adding docs never reassigns existing ones: the split of the
+    first 200 ids is the restriction of the split of 1000 ids."""
+    small = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(_ids(spark, 200)).collect()
+    }
+    big = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(_ids(spark, 1000)).collect()
+    }
+    assert small == {k: big[k] for k in small}
+
+
+def test_partitioning_independent(spark):
+    """Same assignment at 1 partition and 16 partitions."""
+    a = dict(
+        deterministic_split(_ids(spark, 500, parts=1))
+        .select("doc_id", "split").collect()
+    )
+    b = dict(
+        deterministic_split(_ids(spark, 500, parts=16))
+        .select("doc_id", "split").collect()
+    )
+    assert a == b
+
+
+def test_nested_samples_compose(spark):
+    """rate 0.1 ⊂ rate 0.3 at the same salt; disjoint-ish at a
+    different salt (not a strict property — just not identical)."""
+    ids10 = {r["doc_id"] for r in hash_sample(_ids(spark, 2000), 0.1).collect()}
+    ids30 = {r["doc_id"] for r in hash_sample(_ids(spark, 2000), 0.3).collect()}
+    assert ids10 <= ids30
+    other = {
+        r["doc_id"]
+        for r in hash_sample(_ids(spark, 2000), 0.1, salt="x").collect()
+    }
+    assert other != ids10
+
+
+def test_rate_accuracy(spark):
+    """Observed rate within a loose binomial tolerance (md5 uniform:
+    n=5000, p=0.2 -> sd ~ 28; allow 5 sd)."""
+    n = hash_sample(_ids(spark, 5000), 0.2).count()
+    assert abs(n - 1000) < 150
+
+
+def test_split_fraction_validation(spark):
+    with pytest.raises(ValueError):
+        deterministic_split(_ids(spark, 10), {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        deterministic_split(_ids(spark, 10), {"a": 1.5, "b": -0.5})
+
+
+def test_single_bucket_degenerate(spark):
+    """A one-name split assigns everything to that name."""
+    rows = deterministic_split(_ids(spark, 50), {"all": 1.0}).collect()
+    assert {r["split"] for r in rows} == {"all"}
+
+
+def test_split_plan_stays_in_scan(spark):
+    """The CASE expression is pure JVM: no Python eval, no exchange in
+    the plan (whole-stage codegen keeps it inside the scan project)."""
+    plan = (
+        deterministic_split(_ids(spark, 100))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
