@@ -844,6 +844,30 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_dup_spans(_docs(spark, sf_dir), min_len=40, max_bucket=None)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus gate: freeze the even-doc_id half of the corpus
+    into a bucketed Bloom membership index (built fresh per call under
+    /tmp), then gate an increment made of the odd half (all genuinely
+    new) plus re-keyed copies of the even half (all duplicates). The
+    probe → confirm pipeline is exact, so DuckDB re-derives the verdict
+    as a NOT EXISTS on normalized text (operators/incremental.py)."""
+    import re as _re
+
+    from tetrex_spark.operators.incremental import (
+        build_membership_index,
+        incremental_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").unionAll(
+        ref.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    idx = f"/tmp/tetrex_memb_{_re.sub(r'[^A-Za-z0-9.]', '_', sf_dir)}"
+    build_membership_index(ref, idx, n_buckets=16)
+    return incremental_exact_dedup(inc, idx)
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable train/val/test assignment (80/10/10): each doc's
     split is a pure function of md5(salt ':' doc_id) vs cumulative
@@ -915,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comparison independently — every assignment value-hashed
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
+        # oracle-checked: Bloom probe -> hash confirm is exact, so the
+        # oracle is a NOT EXISTS on normalized text
+        "incremental_dedup": q_incremental_dedup,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1125,6 +1152,24 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from documents
             where md5('r5:' || cast(doc_id as varchar))
                   < '{_hex_threshold(0.2)}'
+        """,
+        # incremental_dedup: the Bloom-gated verdict is exact, so the
+        # oracle is plain normalized-text membership of the synthetic
+        # increment (odd half new, re-keyed even half duplicate).
+        "incremental_dedup": f"""
+            with ref as (
+              select {_NORM_SQL_DUCK} as t from documents where doc_id % 2 = 0
+            ),
+            inc as (
+              select doc_id, {_NORM_SQL_DUCK} as t
+              from documents where doc_id % 2 = 1
+              union all
+              select doc_id + 1000000 as doc_id, {_NORM_SQL_DUCK} as t
+              from documents where doc_id % 2 = 0
+            )
+            select i.doc_id,
+                   not exists (select 1 from ref r where r.t = i.t) as is_new
+            from inc i
         """,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,

@@ -250,6 +250,7 @@ def main() -> None:
         "substring_spans",
         "strip_dup_spans",
         "dataset_split",
+        "incremental_dedup",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -326,6 +326,52 @@ def cmd_stripdup(args) -> int:
     return 0
 
 
+def cmd_membindex(args) -> int:
+    """Freeze a corpus into a bucketed Bloom membership index (16 B/doc
+    hash table partitioned by bucket + one sized filter per bucket), the
+    once-per-freeze half of the incremental dedup gate."""
+    from .operators.incremental import build_membership_index
+
+    spark = _spark("membindex")
+    stats = build_membership_index(
+        read_corpus(spark, args.corpus), args.output,
+        n_buckets=args.n_buckets, fpr=args.fpr,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    print(
+        f"Membership index: {stats['n_keys']} distinct texts in "
+        f"{stats['n_filled_buckets']}/{args.n_buckets} buckets."
+    )
+    return 0
+
+
+def cmd_membgate(args) -> int:
+    """Gate a crawl increment against a frozen membership index: write
+    (id, is_new) verdicts, or only the new rows with --new-only. Cost is
+    proportional to the increment; the reference corpus is never read
+    beyond the candidate buckets' hash files."""
+    from pyspark.sql import functions as F
+
+    from .operators.incremental import incremental_exact_dedup
+
+    spark = _spark("membgate")
+    inc = read_corpus(spark, args.increment)
+    verdict = incremental_exact_dedup(
+        inc, args.index, text_col=args.text_col, id_col=args.id_col
+    )
+    if args.new_only:
+        out = inc.join(
+            verdict.filter("is_new").select(args.id_col), args.id_col
+        )
+    else:
+        out = verdict
+    out.write.mode("overwrite").parquet(args.output)
+    n_new = verdict.filter("is_new").count()
+    n_all = verdict.count()
+    print(f"Gate: {n_new}/{n_all} increment docs are new.")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tetrex_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -423,6 +469,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="anchor bucket cap; over-cap buckets are "
                          "warn-logged and dropped")
     ps.set_defaults(fn=cmd_stripdup)
+
+    pm = sub.add_parser("membindex")
+    pm.add_argument("--corpus", required=True)
+    pm.add_argument("--output", required=True)
+    pm.add_argument("--id-col", default="doc_id")
+    pm.add_argument("--text-col", default="text")
+    pm.add_argument("--n-buckets", type=int, default=64,
+                    help="hash-range buckets (size so one bucket's keys "
+                         "fit a task: ~10M keys/bucket at scale)")
+    pm.add_argument("--fpr", type=float, default=0.01)
+    pm.set_defaults(fn=cmd_membindex)
+
+    pg = sub.add_parser("membgate")
+    pg.add_argument("--increment", required=True)
+    pg.add_argument("--index", required=True)
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--id-col", default="doc_id")
+    pg.add_argument("--text-col", default="text")
+    pg.add_argument("--new-only", action="store_true",
+                    help="write the surviving increment rows instead of "
+                         "(id, is_new) verdicts")
+    pg.set_defaults(fn=cmd_membgate)
 
     args = p.parse_args(argv)
     return args.fn(args)
