@@ -868,6 +868,31 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_exact_dedup(inc, idx)
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup gate against a frozen corpus: freeze the even half's
+    MinHash band buckets + shingle sets, then gate the odd half plus
+    re-keyed copies of the even half. Re-keyed copies match their
+    original at jaccard 1.0; odd docs match only if the corpus contains
+    a cross-parity near-dup pair. LSH recall at the 32x4 banding is
+    1-5e-8 for j>=0.8, so DuckDB re-derives the verdict exactly as NOT
+    EXISTS over the k-shingle Jaccard (operators/incremental.py)."""
+    import re as _re
+
+    from tetrex_spark.operators.incremental import (
+        build_neardup_index,
+        incremental_neardup_gate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").unionAll(
+        ref.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    idx = f"/tmp/tetrex_ndidx_{_re.sub(r'[^A-Za-z0-9.]', '_', sf_dir)}"
+    build_neardup_index(ref, idx, threshold=0.8, max_bucket=None)
+    return incremental_neardup_gate(inc, idx)
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable train/val/test assignment (80/10/10): each doc's
     split is a pure function of md5(salt ':' doc_id) vs cumulative
@@ -942,6 +967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: Bloom probe -> hash confirm is exact, so the
         # oracle is a NOT EXISTS on normalized text
         "incremental_dedup": q_incremental_dedup,
+        # oracle-checked: LSH block + exact-Jaccard verify vs the
+        # frozen even-half index; NOT EXISTS over k-shingle Jaccard
+        "incremental_neardup": q_incremental_neardup,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1170,6 +1198,44 @@ def oracle_sql() -> dict[str, str]:
             select i.doc_id,
                    not exists (select 1 from ref r where r.t = i.t) as is_new
             from inc i
+        """,
+        # incremental_neardup: the gate's LSH recall at 32x4 banding is
+        # 1-5e-8 for j>=0.8 and the verify is exact Jaccard, so the
+        # oracle re-derives the verdict as NOT EXISTS over k-shingle
+        # Jaccard between the synthetic increment and the even half.
+        "incremental_neardup": f"""
+            with all_docs as (
+              select doc_id, text, (doc_id % 2 = 1) as is_inc
+              from documents where doc_id % 2 = 1
+              union all
+              select doc_id + 1000000 as doc_id, text, true
+              from documents where doc_id % 2 = 0
+              union all
+              select doc_id, text, false from documents where doc_id % 2 = 0
+            ),
+            toks as (select doc_id, is_inc, {_TOKS} as t from all_docs),
+            sh as (
+              select distinct doc_id, is_inc,
+                     array_to_string(t[i:i+{JACCARD_K - 1}], ' ') as g
+              from toks, unnest(range(1, len(t) - {JACCARD_K - 2})) r(i)
+              where len(t) >= {JACCARD_K}
+            ),
+            sz as (select doc_id, count(*) n from sh group by 1),
+            inter as (
+              select a.doc_id ia, b.doc_id ib, count(*) c
+              from sh a join sh b on a.g = b.g
+              where a.is_inc and not b.is_inc
+              group by 1, 2
+            ),
+            matched as (
+              select distinct ia from inter
+              join sz sa on sa.doc_id = ia
+              join sz sb on sb.doc_id = ib
+              where c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+            )
+            select d.doc_id,
+                   d.doc_id not in (select ia from matched) as is_new
+            from all_docs d where d.is_inc
         """,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,

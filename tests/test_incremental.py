@@ -102,6 +102,112 @@ def test_params_guard(spark, index_dir):
         incremental_exact_dedup(_corpus(spark, ["x"]), index_dir)
 
 
+def _long_text(seed, n=50, edits=()):
+    """50 tokens unique to `seed` (multiplicative-hash token ids), so
+    distinct seeds share no shingles; `edits` plant near-dups."""
+    toks = [
+        f"w{(seed * 1315423911 + i * 2654435761) % (1 << 31)}" for i in range(n)
+    ]
+    for pos, w in edits:
+        toks[pos] = w
+    return " ".join(toks)
+
+
+NEARDUP_REF = [_long_text(i) for i in range(40)]
+
+
+@pytest.fixture()
+def neardup_index(spark, tmp_path):
+    from tetrex_spark.operators.incremental import build_neardup_index
+
+    d = str(tmp_path / "nd_idx")
+    stats = build_neardup_index(
+        _corpus(spark, NEARDUP_REF), d, threshold=0.8, n_shards=8
+    )
+    assert stats["n_reps"] == 40
+    assert stats["n_dropped_buckets"] == 0
+    return d
+
+
+def test_neardup_gate_verdicts(spark, neardup_index):
+    """Exact copy and a 2-token edit (jaccard ~0.85) are dups; a fresh
+    text and a sub-k-token doc are new."""
+    from tetrex_spark.operators.incremental import (
+        incremental_neardup_gate,
+        incremental_neardup_pairs,
+    )
+
+    inc_texts = [
+        NEARDUP_REF[7],                            # exact
+        _long_text(12, edits=[(10, "zq1")]),       # near-dup of ref 12 (~0.88)
+        _long_text(999),                           # fresh
+        "tiny doc",                                # < k tokens
+    ]
+    inc = _corpus(spark, inc_texts, start_id=1000)
+    got = {
+        r["doc_id"]: r["is_new"]
+        for r in incremental_neardup_gate(inc, neardup_index).collect()
+    }
+    assert got == {1000: False, 1001: False, 1002: True, 1003: True}
+    pairs = incremental_neardup_pairs(inc, neardup_index).collect()
+    by_inc = {(r["doc_id"], r["ref_id"]): r["jaccard"] for r in pairs}
+    assert by_inc[(1000, 7)] == 1.0
+    assert 0.8 <= by_inc[(1001, 12)] < 1.0
+
+
+def test_neardup_precollapse(spark, tmp_path):
+    """10k exact copies of one text collapse to ONE representative
+    before signing (no bucket blowup), and a copy still gates as dup."""
+    from tetrex_spark.operators.incremental import (
+        build_neardup_index,
+        incremental_neardup_gate,
+    )
+
+    d = str(tmp_path / "nd_dupheavy")
+    ref = _corpus(spark, [NEARDUP_REF[0]] * 200 + NEARDUP_REF[1:5])
+    stats = build_neardup_index(ref, d, n_shards=8)
+    assert stats["n_reps"] == 5
+    got = incremental_neardup_gate(
+        _corpus(spark, [NEARDUP_REF[0]], start_id=1000), d
+    ).collect()
+    assert got[0]["is_new"] is False
+
+
+def test_neardup_partitioning_independent(spark, neardup_index):
+    from tetrex_spark.operators.incremental import incremental_neardup_gate
+
+    texts = [NEARDUP_REF[i % 40] if i % 3 == 0 else _long_text(100 + i) for i in range(30)]
+    a = {
+        r["doc_id"]: r["is_new"]
+        for r in incremental_neardup_gate(
+            _corpus(spark, texts).repartition(1), neardup_index
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["is_new"]
+        for r in incremental_neardup_gate(
+            _corpus(spark, texts).repartition(16), neardup_index
+        ).collect()
+    }
+    assert a == b
+    assert sum(not v for v in a.values()) == 10
+
+
+def test_kind_guard(spark, index_dir, neardup_index):
+    """A membership index refuses to serve the near-dup gate and vice
+    versa."""
+    from tetrex_spark.operators.incremental import (
+        incremental_exact_dedup,
+        incremental_neardup_gate,
+    )
+
+    inc = _corpus(spark, ["x y z w"])
+    with pytest.raises(ValueError, match="neardup"):
+        incremental_neardup_gate(inc, index_dir)
+    with pytest.raises(ValueError, match="membership"):
+        incremental_exact_dedup(inc, neardup_index)
+
+
 def test_index_is_text_free_and_pruned(spark, index_dir):
     """The index stores 16 B/doc (no text column), and the confirm scan
     carries a literal bucket partition filter."""

@@ -142,6 +142,7 @@ def build_membership_index(
     )
     params = {
         "_layout": LAYOUT_VERSION,
+        "kind": "membership",
         "norm_version": NORM_VERSION,
         "n_buckets": n_buckets,
         "fpr": fpr,
@@ -157,9 +158,14 @@ def build_membership_index(
     }
 
 
-def _read_params(index_dir: str) -> dict:
+def _read_params(index_dir: str, kind: str = "membership") -> dict:
     with open(os.path.join(index_dir, "params.json")) as f:
         params = json.load(f)
+    if params.get("kind", "membership") != kind:
+        raise ValueError(
+            f"index at {index_dir} is a {params.get('kind')!r} index, "
+            f"this operator needs a {kind!r} index"
+        )
     if params.get("_layout") != LAYOUT_VERSION:
         raise ValueError(
             f"membership index at {index_dir} has layout "
@@ -265,4 +271,194 @@ def incremental_exact_dedup(
         .join(dup_ids.withColumn("__dup", F.lit(True)), id_col, "left")
         .select(F.col(id_col), F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"))
         .select(F.col(id_col), (~F.col("is_dup")).alias("is_new"))
+    )
+
+
+# -- near-dup gate (MinHash LSH against a frozen corpus) -----------------
+#
+# Same freeze-once / gate-per-increment shape as the exact gate, one
+# level up the similarity ladder: the frozen side is the corpus's
+# MinHash band-bucket table plus its shingle sets (both sharded for
+# partition pruning), and the gate blocks increment docs against the
+# stored buckets, then exact-Jaccard-verifies candidates only. Gate
+# cost is proportional to the increment + its candidates; the reference
+# corpus text is never read at gate time (sets live in the index).
+
+
+def _sshard(id_expr, n_shards: int):
+    return F.pmod(F.xxhash64(id_expr), F.lit(n_shards)).cast("int")
+
+
+def build_neardup_index(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    n_shards: int = 64,
+    max_bucket: int | None = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Freeze `df`'s MinHash LSH state at `out_dir`:
+
+      <dir>/buckets  (shard, band, bh, id) partitioned by shard —
+                     the band-bucket membership of every representative
+      <dir>/sets     (sshard, id, s) partitioned by sshard — the sorted
+                     shingle-hash set the verify step needs
+      <dir>/params.json  banding + normalization + layout guard
+
+    Exact-duplicate texts are pre-collapsed to one representative (min
+    id) before signing — the boilerplate-cluster killer from the batch
+    path (minhash_lsh_pairs step 1); a dup of ANY copy is a dup of the
+    representative, so the gate verdict is unchanged. Buckets larger
+    than `max_bucket` representatives are dropped with their count
+    recorded in params (same trade, and the same visibility, as the
+    batch capped_candidate_pairs). num_perm/bands (default 32x4) give
+    recall ~1-5e-8 at jaccard >= 0.8."""
+    from .dedup import band_buckets, minhash_sigs_and_sets
+
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    r = num_perm // bands
+    reps = (
+        df.select(F.col(id_col).alias("__rid"), F.col(text_col))
+        .groupBy(F.md5(norm_col(text_col)).alias("__dk"))
+        .agg(
+            F.min("__rid").alias(id_col),
+            F.any_value(text_col).alias(text_col),
+        )
+        .drop("__dk")
+    )
+    ss = minhash_sigs_and_sets(
+        reps, k, num_perm, text_col=text_col, id_col=id_col
+    )
+    buckets = band_buckets(ss, bands, r)
+    counts = buckets.groupBy("band", "bh").count()
+    over = counts.filter(F.col("count") > max_bucket) if max_bucket else None
+    if over is not None:
+        buckets = buckets.join(over.select("band", "bh"), ["band", "bh"], "left_anti")
+    buckets.withColumn("shard", _sshard(F.col("bh"), n_shards)).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(f"{out_dir}/buckets")
+    ss.select(
+        _sshard(F.col("id"), n_shards).alias("sshard"), "id", "s"
+    ).write.mode("overwrite").partitionBy("sshard").parquet(f"{out_dir}/sets")
+
+    spark = df.sparkSession
+    n_reps = spark.read.parquet(f"{out_dir}/sets").count()
+    n_dropped = int(over.count()) if over is not None else 0
+    params = {
+        "_layout": LAYOUT_VERSION,
+        "kind": "neardup",
+        "norm_version": NORM_VERSION,
+        "threshold": threshold,
+        "k": k,
+        "num_perm": num_perm,
+        "bands": bands,
+        "n_shards": n_shards,
+        "max_bucket": max_bucket,
+        "n_reps": n_reps,
+        "n_dropped_buckets": n_dropped,
+    }
+    with open(os.path.join(out_dir, "params.json"), "w") as f:
+        json.dump(params, f, indent=2, sort_keys=True)
+    return {"n_reps": n_reps, "n_dropped_buckets": n_dropped}
+
+
+def incremental_neardup_pairs(
+    increment: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, ref_id, jaccard): every frozen-corpus representative
+    within the index's Jaccard threshold of an increment doc. The
+    increment is signed in one Arrow pass; its band keys join the
+    stored buckets (read under a literal shard IN (...) partition
+    filter — a small delta touches few shards); candidate (inc, ref)
+    pairs are exact-verified against the stored sets, read pruned the
+    same way. Only the bounded shard-id lists (≤ n_shards, a config)
+    ever reach the driver."""
+    from .dedup import band_buckets, minhash_sigs_and_sets
+
+    spark = increment.sparkSession
+    params = _read_params(index_dir, kind="neardup")
+    bands, r = int(params["bands"]), int(params["num_perm"]) // int(params["bands"])
+    n_shards, threshold = int(params["n_shards"]), float(params["threshold"])
+
+    inc_ss = minhash_sigs_and_sets(
+        increment, int(params["k"]), int(params["num_perm"]),
+        text_col=text_col, id_col=id_col,
+    ).localCheckpoint(eager=True)  # one kernel pass; blocking + verify reuse
+    inc_b = band_buckets(inc_ss, bands, r).withColumn(
+        "shard", _sshard(F.col("bh"), n_shards)
+    )
+
+    shards = [int(x["shard"]) for x in inc_b.select("shard").distinct().collect()]
+    if not shards:
+        return spark.createDataFrame(
+            [], f"{id_col} long, ref_id long, jaccard double"
+        )
+    ref_b = (
+        spark.read.parquet(f"{index_dir}/buckets")
+        .filter(F.col("shard").isin(shards))
+        .select("band", "bh", F.col("id").alias("ref_id"))
+    )
+    cand = (
+        inc_b.select("band", "bh", F.col("id").alias("__iid"))
+        .join(ref_b, ["band", "bh"])
+        .select("__iid", "ref_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: shard collect + verify join
+    )
+    sshards = [
+        int(x["s"]) for x in
+        cand.select(_sshard(F.col("ref_id"), n_shards).alias("s")).distinct().collect()
+    ]
+    if not sshards:
+        return spark.createDataFrame(
+            [], f"{id_col} long, ref_id long, jaccard double"
+        )
+    ref_sets = (
+        spark.read.parquet(f"{index_dir}/sets")
+        .filter(F.col("sshard").isin(sshards))
+        .select(F.col("id").alias("ref_id"), F.col("s").alias("s_b"))
+    )
+    inc_sets = inc_ss.select(F.col("id").alias("__iid"), F.col("s").alias("s_a"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        F.broadcast(cand).join(inc_sets, "__iid").join(ref_sets, "ref_id")
+        .withColumn("jaccard", inter / (F.size("s_a") + F.size("s_b") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__iid").alias(id_col),
+            "ref_id",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def incremental_neardup_gate(
+    increment: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, is_new): whether each increment doc has NO frozen-corpus
+    doc within the index's Jaccard threshold. Docs with fewer than k
+    tokens have no signature and cannot match — they are new (same
+    convention as the batch LSH path, which emits no row for them)."""
+    pairs = incremental_neardup_pairs(
+        increment, index_dir, text_col=text_col, id_col=id_col
+    )
+    matched = pairs.select(F.col(id_col)).distinct()
+    return (
+        increment.select(id_col)
+        .join(matched.withColumn("__m", F.lit(True)), id_col, "left")
+        .select(F.col(id_col), F.col("__m").isNull().alias("is_new"))
     )
