@@ -216,3 +216,39 @@ def test_index_is_text_free_and_pruned(spark, index_dir):
     inc = _corpus(spark, [REF_TEXTS[5]])
     out = incremental_exact_dedup(inc, index_dir)
     assert out.collect()[0]["is_new"] is False
+
+
+def test_cli_ndindex_ndgate_end_to_end(spark, tmp_path, capsys):
+    """ndindex freezes a parquet corpus; ndgate verdicts a mixed
+    increment and --new-only keeps only the fresh rows."""
+    from tetrex_spark.cli import main
+
+    corpus_path = str(tmp_path / "corpus.parquet")
+    _corpus(spark, NEARDUP_REF).write.parquet(corpus_path)
+    idx = str(tmp_path / "nd_idx")
+    rc = main(["ndindex", "--corpus", corpus_path, "--output", idx,
+               "--n-shards", "8"])
+    assert rc == 0
+    assert "40 representatives" in capsys.readouterr().out
+
+    inc_path = str(tmp_path / "inc.parquet")
+    _corpus(
+        spark, [NEARDUP_REF[3], _long_text(7, edits=[(4, "zq9")]),
+                _long_text(500)],
+        start_id=1000,
+    ).write.parquet(inc_path)
+    out = str(tmp_path / "verdicts")
+    rc = main(["ndgate", "--increment", inc_path, "--index", idx,
+               "--output", out])
+    assert rc == 0
+    assert "1/3 increment docs are new" in capsys.readouterr().out
+    got = {r["doc_id"]: r["is_new"] for r in spark.read.parquet(out).collect()}
+    assert got == {1000: False, 1001: False, 1002: True}
+
+    out2 = str(tmp_path / "survivors")
+    rc = main(["ndgate", "--increment", inc_path, "--index", idx,
+               "--output", out2, "--new-only"])
+    assert rc == 0
+    kept = spark.read.parquet(out2)
+    assert [r["doc_id"] for r in kept.collect()] == [1002]
+    assert set(kept.columns) == {"doc_id", "text"}

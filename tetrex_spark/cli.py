@@ -372,6 +372,52 @@ def cmd_membgate(args) -> int:
     return 0
 
 
+def cmd_ndindex(args) -> int:
+    """Freeze a corpus's MinHash LSH state (sharded band buckets +
+    shingle sets, exact-dup pre-collapse) — the once-per-freeze half of
+    the incremental NEAR-dup gate."""
+    from .operators.incremental import build_neardup_index
+
+    spark = _spark("ndindex")
+    stats = build_neardup_index(
+        read_corpus(spark, args.corpus), args.output,
+        threshold=args.threshold, k=args.k, num_perm=args.num_perm,
+        bands=args.bands, n_shards=args.n_shards,
+        max_bucket=args.max_bucket,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    print(
+        f"Near-dup index: {stats['n_reps']} representatives frozen "
+        f"({stats['n_dropped_buckets']} over-cap buckets dropped)."
+    )
+    return 0
+
+
+def cmd_ndgate(args) -> int:
+    """Gate a crawl increment against a frozen near-dup index: write
+    (id, is_new) verdicts, or only the genuinely-new rows with
+    --new-only. Cost is proportional to the increment plus its LSH
+    candidates; the frozen corpus text is never read."""
+    from .operators.incremental import incremental_neardup_gate
+
+    spark = _spark("ndgate")
+    inc = read_corpus(spark, args.increment)
+    verdict = incremental_neardup_gate(
+        inc, args.index, text_col=args.text_col, id_col=args.id_col
+    )
+    if args.new_only:
+        out = inc.join(
+            verdict.filter("is_new").select(args.id_col), args.id_col
+        )
+    else:
+        out = verdict
+    out.write.mode("overwrite").parquet(args.output)
+    n_new = verdict.filter("is_new").count()
+    n_all = verdict.count()
+    print(f"Near-dup gate: {n_new}/{n_all} increment docs are new.")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tetrex_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -491,6 +537,35 @@ def main(argv: list[str] | None = None) -> int:
                     help="write the surviving increment rows instead of "
                          "(id, is_new) verdicts")
     pg.set_defaults(fn=cmd_membgate)
+
+    pn = sub.add_parser("ndindex")
+    pn.add_argument("--corpus", required=True)
+    pn.add_argument("--output", required=True)
+    pn.add_argument("--id-col", default="doc_id")
+    pn.add_argument("--text-col", default="text")
+    pn.add_argument("--threshold", type=float, default=0.8,
+                    help="jaccard threshold the gate will enforce")
+    pn.add_argument("--k", type=int, default=3, help="shingle width")
+    pn.add_argument("--num-perm", type=int, default=128)
+    pn.add_argument("--bands", type=int, default=32)
+    pn.add_argument("--n-shards", type=int, default=64,
+                    help="partition shards for buckets and sets (a small "
+                         "increment reads only its shards)")
+    pn.add_argument("--max-bucket", type=int, default=512,
+                    help="bucket cap; over-cap buckets dropped and the "
+                         "count recorded in params.json")
+    pn.set_defaults(fn=cmd_ndindex)
+
+    png = sub.add_parser("ndgate")
+    png.add_argument("--increment", required=True)
+    png.add_argument("--index", required=True)
+    png.add_argument("--output", required=True)
+    png.add_argument("--id-col", default="doc_id")
+    png.add_argument("--text-col", default="text")
+    png.add_argument("--new-only", action="store_true",
+                     help="write the surviving increment rows instead of "
+                          "(id, is_new) verdicts")
+    png.set_defaults(fn=cmd_ndgate)
 
     args = p.parse_args(argv)
     return args.fn(args)
