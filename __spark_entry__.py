@@ -893,6 +893,25 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup_gate(inc, idx)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram overlap, Brown et al. 2020
+    §C): synthesize the benchmark as a 24-token window (tokens 11-34)
+    of every doc_id % 20 == 0 document — a verbatim "eval question"
+    lifted from the corpus — then flag every training doc sharing a
+    13-gram with it. Contaminated = the source docs themselves plus any
+    near-dup that preserves the window. JVM-only plan: grams via
+    transform+slice, xxhash64-compressed, benchmark set broadcast; the
+    oracle re-derives exact string-gram overlap in DuckDB."""
+    from tetrex_spark.operators.decontam import decontaminate
+    from tetrex_spark.operators.dedup import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.array_join(F.slice(tokens_col("text"), 11, 24), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=13)
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable train/val/test assignment (80/10/10): each doc's
     split is a pure function of md5(salt ':' doc_id) vs cumulative
@@ -970,6 +989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: LSH block + exact-Jaccard verify vs the
         # frozen even-half index; NOT EXISTS over k-shingle Jaccard
         "incremental_neardup": q_incremental_neardup,
+        # oracle-checked: broadcast 13-gram-hash semi-join vs exact
+        # string-gram overlap re-derived in DuckDB
+        "decontaminate": q_decontaminate,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1237,6 +1259,36 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id not in (select ia from matched) as is_new
             from all_docs d where d.is_inc
         """,
+        # decontaminate: the Spark side joins on xxhash64(gram); the
+        # oracle overlaps the exact gram STRINGS — agreement also rules
+        # out hash collisions on the fixture. Benchmark re-derivation:
+        # the 24-token window is already normalized single-spaced text,
+        # so re-tokenizing it is a plain string_split.
+        "decontaminate": """
+            with toks as (select doc_id, __TOKS__ as t from documents),
+            btoks as (
+              select string_split(array_to_string(t[11:34], ' '), ' ') as t
+              from toks where doc_id % 20 = 0
+            ),
+            bgrams as (
+              select distinct array_to_string(t[i:i+12], ' ') as g
+              from btoks, unnest(range(1, len(t) - 11)) r(i)
+              where len(t) >= 13
+            ),
+            dgrams as (
+              select distinct doc_id, array_to_string(t[i:i+12], ' ') as g
+              from toks, unnest(range(1, len(t) - 11)) r(i)
+              where len(t) >= 13
+            ),
+            hits as (
+              select doc_id, count(*) as n
+              from dgrams join bgrams using (g) group by 1
+            )
+            select d.doc_id,
+                   coalesce(h.n, 0)::bigint as n_hit_grams,
+                   coalesce(h.n, 0) < 1 as is_clean
+            from documents d left join hits h using (doc_id)
+        """.replace("__TOKS__", _TOKS),
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "streaming_simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -251,6 +251,8 @@ def main() -> None:
         "strip_dup_spans",
         "dataset_split",
         "incremental_dedup",
+        "incremental_neardup",
+        "decontaminate",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
