@@ -912,6 +912,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=13)
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality scores: fit the unigram model on
+    the even half (top_k=500 so the pruning path is exercised — rarer
+    retained-vocab misses price at the OOV floor), score ALL docs by
+    mean token log-prob + perplexity. The oracle re-derives the same
+    fit (count desc / token asc top-500), floor ln(0.5/total), and
+    per-doc average in DuckDB (functions/lm.py)."""
+    from tetrex_spark.functions.lm import doc_logprob, unigram_model
+
+    docs = _docs(spark, sf_dir)
+    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0), top_k=500)
+    return doc_logprob(docs, model)
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable train/val/test assignment (80/10/10): each doc's
     split is a pure function of md5(salt ':' doc_id) vs cumulative
@@ -992,6 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: broadcast 13-gram-hash semi-join vs exact
         # string-gram overlap re-derived in DuckDB
         "decontaminate": q_decontaminate,
+        # oracle-checked: unigram fit + OOV floor + per-doc mean re-run
+        # in DuckDB on the same deterministic top-500 vocab
+        "lm_quality": q_lm_quality,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1288,6 +1305,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0)::bigint as n_hit_grams,
                    coalesce(h.n, 0) < 1 as is_clean
             from documents d left join hits h using (doc_id)
+        """.replace("__TOKS__", _TOKS),
+        # lm_quality: identical fit (even half, count-desc/token-asc
+        # top-500), identical floor ln(0.5/total with total counted
+        # before pruning), identical per-doc mean; float agreement is
+        # within the harness's 6-decimal rounding.
+        "lm_quality": """
+            with toks as (select doc_id, __TOKS__ as t from documents),
+            tok as (
+              select doc_id, unnest(t) as token from toks
+            ),
+            tok_ne as (select doc_id, token from tok where token <> ''),
+            fit as (
+              select token, count(*) as cnt from tok_ne
+              where doc_id % 2 = 0 group by 1
+            ),
+            tot as (select sum(cnt) as total from fit),
+            model as (
+              select token, ln(cnt * 1.0 / total) as logp
+              from fit, tot
+              order by cnt desc, token asc
+              limit 500
+            ),
+            oov as (select ln(0.5 / total) as o from tot),
+            scored as (
+              select d.doc_id, count(*) as n_tokens,
+                     avg(coalesce(m.logp, o.o)) as mean_logp
+              from tok_ne d left join model m using (token), oov o
+              group by 1
+            )
+            select doc.doc_id,
+                   coalesce(s.n_tokens, 0)::bigint as n_tokens,
+                   s.mean_logp,
+                   exp(-s.mean_logp) as perplexity
+            from documents doc left join scored s using (doc_id)
         """.replace("__TOKS__", _TOKS),
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,

@@ -253,6 +253,7 @@ def main() -> None:
         "incremental_dedup",
         "incremental_neardup",
         "decontaminate",
+        "lm_quality",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

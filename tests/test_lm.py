@@ -1,0 +1,104 @@
+"""Unigram LM quality scoring (functions/lm.py): exact hand-computed
+probabilities, OOV floor, deterministic top_k ties, empty docs, and the
+broadcast plan."""
+
+import math
+
+import pytest
+
+from tetrex_spark.functions.lm import doc_logprob, unigram_model
+
+
+def _df(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def fit_docs(spark):
+    # 10 tokens total: a x4, b x3, c x2, d x1
+    return _df(spark, [(0, "a a b c"), (1, "a b d"), (2, "a b c")])
+
+
+def test_model_probs(spark, fit_docs):
+    m = {r["token"]: r for r in unigram_model(fit_docs).collect()}
+    assert {t: r["cnt"] for t, r in m.items()} == {"a": 4, "b": 3, "c": 2, "d": 1}
+    assert m["a"]["logp"] == pytest.approx(math.log(4 / 10))
+    assert m["d"]["logp"] == pytest.approx(math.log(1 / 10))
+    assert all(r["total"] == 10 for r in m.values())
+
+
+def test_min_count_and_total_before_pruning(spark, fit_docs):
+    m = {r["token"]: r for r in unigram_model(fit_docs, min_count=2).collect()}
+    assert set(m) == {"a", "b", "c"}
+    # d is dropped from the vocab but still counted in the denominator
+    assert m["c"]["logp"] == pytest.approx(math.log(2 / 10))
+    assert m["c"]["total"] == 10
+
+
+def test_top_k_deterministic_ties(spark, fit_docs):
+    # c and d would tie at cnt if we crafted it; here top_k=2 keeps the
+    # two most frequent, and a tie at the boundary resolves by token asc
+    docs = _df(spark, [(0, "x y z z")])  # x:1 y:1 z:2 — x/y tie for 2nd
+    m = [r["token"] for r in unigram_model(docs, top_k=2).collect()]
+    assert sorted(m) == ["x", "z"]
+
+
+def test_doc_scores_exact(spark, fit_docs):
+    model = unigram_model(fit_docs)
+    scored = {
+        r["doc_id"]: r
+        for r in doc_logprob(
+            _df(spark, [(10, "a b"), (11, "a zzz"), (12, "")]), model
+        ).collect()
+    }
+    exp_ab = (math.log(0.4) + math.log(0.3)) / 2
+    assert scored[10]["n_tokens"] == 2
+    assert scored[10]["mean_logp"] == pytest.approx(exp_ab)
+    assert scored[10]["perplexity"] == pytest.approx(math.exp(-exp_ab))
+    # zzz is OOV: floor ln(0.5/10)
+    exp_oov = (math.log(0.4) + math.log(0.05)) / 2
+    assert scored[11]["mean_logp"] == pytest.approx(exp_oov)
+    # empty doc keeps its row with null scores
+    assert scored[12]["n_tokens"] == 0
+    assert scored[12]["mean_logp"] is None
+    assert scored[12]["perplexity"] is None
+
+
+def test_junk_scores_worse(spark, fit_docs):
+    """The point of the gate: fluent (in-distribution) text gets lower
+    perplexity than junk."""
+    model = unigram_model(fit_docs)
+    s = {
+        r["doc_id"]: r["perplexity"]
+        for r in doc_logprob(
+            _df(spark, [(0, "a a b a"), (1, "qq ww ee rr")]), model
+        ).collect()
+    }
+    assert s[0] < s[1]
+
+
+def test_partitioning_independent(spark, fit_docs):
+    docs = _df(spark, [(i, f"a b tok{i % 5}") for i in range(40)])
+    model = unigram_model(fit_docs)
+    a = sorted(tuple(r) for r in doc_logprob(docs.repartition(1), model).collect())
+    b = sorted(tuple(r) for r in doc_logprob(docs.repartition(9), model).collect())
+    assert a == b
+
+
+def test_scoring_plan_broadcasts_model(spark, fit_docs):
+    model = unigram_model(fit_docs)
+    docs = _df(spark, [(0, "a b c")])
+    plan = (
+        doc_logprob(docs, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin [token" in plan
+    assert "SortMergeJoin [token" not in plan
+
+
+def test_top_k_plan_is_take_ordered(spark, fit_docs):
+    plan = (
+        unigram_model(fit_docs, top_k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,112 @@
+"""Unigram language-model quality scoring (CCNet-style, Wenzek et al.
+2020): fit a unigram distribution on a reference corpus, then score
+every document by its mean token log-probability / perplexity — the
+cheap LM-quality gate a web-scale pipeline runs between the heuristic
+quality filter and any neural scorer.
+
+Scale shape:
+
+- fitting is ONE groupBy(token) count with map-side combine,
+  materialized once (localCheckpoint) because the total and the pruned
+  model both read it; top_k selection is TakeOrderedAndProject (per-
+  partition top-k, no global sort) with a deterministic tie-break, so
+  the model stays broadcastable — web-crawl vocabularies are unbounded
+  (typos, ids, junk), and the tail the cap drops is exactly the mass
+  the OOV floor prices anyway;
+- scoring explodes tokens (linear, stays on the executor), LEFT
+  broadcast-joins the model — the corpus is never shuffled on token —
+  and aggregates per doc with map-side combine;
+- OOV tokens get the floor log p = ln(0.5 / total_fit_tokens), i.e.
+  "rarer than anything retained", the standard additive-smoothing
+  convention; everything is JVM-side (no Python in either pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.dedup import tokens_col
+
+__all__ = ["unigram_model", "doc_logprob"]
+
+
+def unigram_model(
+    docs: DataFrame,
+    *,
+    top_k: int | None = 1_000_000,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, cnt, logp, total): the reference corpus's unigram
+    distribution, log p = ln(cnt / total) with total counted BEFORE
+    pruning (pruning changes which tokens are retained, not the
+    prices — and the OOV floor needs the true total, which is why it
+    rides along as a constant column). top_k keeps the most frequent
+    tokens (ties broken by token string, so the model is identical at
+    any parallelism); min_count drops hapax junk first. The counts
+    table is materialized once: the model is a fit ARTIFACT — callers
+    save or broadcast it, they don't refit per query."""
+    counts = (
+        docs.select(F.explode(tokens_col(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    model = counts
+    if min_count > 1:
+        model = model.filter(F.col("cnt") >= min_count)
+    if top_k is not None:
+        # orderBy + limit plans as TakeOrderedAndProject: per-partition
+        # top-k then one bounded merge — never a full vocab sort
+        model = model.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+            top_k
+        )
+    return model.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        F.log(F.col("cnt") / F.col("total")).alias("logp"),
+        "total",
+    )
+
+
+def doc_logprob(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_tokens, mean_logp, perplexity): every document scored
+    under `model` (a unigram_model frame). Docs with no tokens keep a
+    row with n_tokens 0 and null scores — downstream gates decide, the
+    scorer doesn't silently drop."""
+    floor = model.select(
+        F.log(F.lit(0.5) / F.max("total")).alias("__oov")
+    )
+    scored = (
+        docs.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .join(F.broadcast(model.select("token", "logp")), "token", "left")
+        .crossJoin(F.broadcast(floor))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.coalesce(F.col("logp"), F.col("__oov"))).alias(
+                "mean_logp"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("mean_logp"),
+            F.exp(-F.col("mean_logp")).alias("perplexity"),
+        )
+    )
