@@ -926,6 +926,20 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_logprob(docs, model)
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget fill (2000 tokens/lang in md5 order):
+    the "mix N tokens per language" step. The Spark side never runs a
+    per-group window over the corpus — it cuts on a bounded bin
+    histogram and resolves at most one boundary bin per group; the
+    oracle IS the naive window cumsum, so agreement proves the binned
+    cut equals the exact greedy fill (functions/sampling.py)."""
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir), 2000, by="lang", salt="r5"
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable train/val/test assignment (80/10/10): each doc's
     split is a pure function of md5(salt ':' doc_id) vs cumulative
@@ -1009,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: unigram fit + OOV floor + per-doc mean re-run
         # in DuckDB on the same deterministic top-500 vocab
         "lm_quality": q_lm_quality,
+        # oracle-checked: binned budget cut vs DuckDB's direct window
+        # cumsum in the same md5 order
+        "token_budget": q_token_budget,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1220,6 +1237,28 @@ def oracle_sql() -> dict[str, str]:
             where md5('r5:' || cast(doc_id as varchar))
                   < '{_hex_threshold(0.2)}'
         """,
+        # token_budget: DuckDB runs the NAIVE formulation (per-lang
+        # window cumsum in (md5, doc_id) order) that the Spark side's
+        # binned cut must equal exactly
+        "token_budget": """
+            with t as (
+              select doc_id,
+                     lang,
+                     len(list_filter(__TOKS__, x -> x <> ''))::bigint
+                       as n_tokens,
+                     md5('r5:' || cast(doc_id as varchar)) as h
+              from documents
+            ),
+            w as (
+              select doc_id, n_tokens,
+                     coalesce(sum(n_tokens) over (
+                       partition by lang order by h, doc_id
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) as before
+              from t
+            )
+            select doc_id, n_tokens, before < 2000 as keep from w
+        """.replace("__TOKS__", _TOKS),
         # incremental_dedup: the Bloom-gated verdict is exact, so the
         # oracle is plain normalized-text membership of the synthetic
         # increment (odd half new, re-keyed even half duplicate).

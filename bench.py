@@ -254,6 +254,7 @@ def main() -> None:
         "incremental_neardup",
         "decontaminate",
         "lm_quality",
+        "token_budget",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

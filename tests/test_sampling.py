@@ -126,3 +126,100 @@ def test_split_plan_stays_in_scan(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# -- token_budget_sample -----------------------------------------------------
+
+
+def _budget_corpus(spark):
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 2 == 0 else "de"
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(i % 10 + 1)), lang))
+    rows.append((100, "", "en"))  # zero-token doc
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _brute_keep(rows, budget, salt=""):
+    """Reference implementation: exact per-group md5-ordered greedy."""
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for doc_id, text, lang in rows:
+        n = len([t for t in text.split() if t])
+        h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+        by_g[lang].append((h, doc_id, n))
+    keep = {}
+    for g, docs in by_g.items():
+        cum = 0
+        for h, doc_id, n in sorted(docs):
+            keep[doc_id] = cum < budget
+            cum += n
+    return keep
+
+
+def test_token_budget_matches_bruteforce(spark):
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    df = _budget_corpus(spark)
+    rows = [(r["doc_id"], r["text"], r["lang"]) for r in df.collect()]
+    for budget in (0, 37, 120, 10_000):
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in token_budget_sample(df, budget, salt="s1").collect()
+        }
+        exp = _brute_keep(rows, budget, salt="s1")
+        assert got == exp, f"budget={budget}"
+
+
+def test_token_budget_per_group_dict(spark):
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    df = _budget_corpus(spark)
+    out = token_budget_sample(df, {"en": 10_000, "de": 0}).collect()
+    langs = {r["doc_id"]: r["doc_id"] % 2 == 0 or r["doc_id"] == 100
+             for r in out}
+    for r in out:
+        if langs[r["doc_id"]]:       # en: unlimited -> everything kept
+            assert r["keep"] is True
+        else:                        # de: zero budget -> nothing kept
+            assert r["keep"] is False
+    # a group missing from the dict gets budget 0
+    out2 = token_budget_sample(df, {"en": 10_000}).collect()
+    assert all(not r["keep"] for r in out2 if not langs[r["doc_id"]])
+
+
+def test_token_budget_partitioning_and_binning_invariance(spark):
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    df = _budget_corpus(spark)
+    a = sorted(tuple(r) for r in
+               token_budget_sample(df.repartition(1), 80).collect())
+    b = sorted(tuple(r) for r in
+               token_budget_sample(df.repartition(13), 80).collect())
+    c = sorted(tuple(r) for r in
+               token_budget_sample(df, 80, bin_hex_digits=1).collect())
+    assert a == b == c  # bin width is an execution detail, not semantics
+
+
+def test_token_budget_zero_token_docs(spark):
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    df = _budget_corpus(spark)
+    got = {r["doc_id"]: r for r in token_budget_sample(df, 10_000).collect()}
+    assert got[100]["n_tokens"] == 0
+    assert got[100]["keep"] is True  # budget open -> free to keep
+
+
+def test_token_budget_validation(spark):
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    df = _budget_corpus(spark)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bin_hex_digits"):
+        token_budget_sample(df, 10, bin_hex_digits=0)
+    with _pt.raises(ValueError, match="non-negative"):
+        token_budget_sample(df, -1)
+    with _pt.raises(ValueError, match="non-negative"):
+        token_budget_sample(df, {"en": -5})

@@ -95,3 +95,125 @@ def hash_sample(
     return df.filter(
         _digest(F.col(id_col), salt) < F.lit(hex_threshold(rate))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int | dict[str, int],
+    *,
+    by: str = "lang",
+    salt: str = "",
+    bin_hex_digits: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_tokens, keep): greedily fill a per-group token budget
+    in deterministic md5 order — the "mix N billion tokens per language"
+    step of a training-data pipeline, append-stable like everything in
+    this module (a doc's keep verdict changes only if the budget or salt
+    does, never because the corpus grew behind it in hash order... docs
+    AHEAD of it in hash order can displace it — the budget is a quota,
+    not a split).
+
+    Keep rule: order each group by (md5(salt ':' id), id); a doc is kept
+    iff the EXCLUSIVE prefix token sum before it is < its group's
+    budget (C4-style greedy fill: the straddling doc is kept, so the
+    realized total may overshoot by part of one document).
+
+    Scale shape — the naive formulation is a per-group window cumsum,
+    i.e. ONE reducer per language over 10^12 rows. Instead:
+
+      1. bin docs by the digest's first `bin_hex_digits` hex chars
+         (16^d bins, order-compatible with the full digest ordering);
+      2. aggregate per-(group, bin) token sums — map-side combine, and
+         the ONLY driver-side data: groups x 16^d rows (size 16^d so a
+         bin ~ corpus/16^d rows; 4 -> 65536);
+      3. the driver cumsums bins per group: bins strictly under budget
+         keep wholesale, bins past it drop wholesale, and AT MOST ONE
+         boundary bin per group resolves per-doc — a window over a
+         single bin's rows, never the corpus.
+
+    Zero-token docs are kept while the budget is open (they cost
+    nothing) and dropped after — the same `before < budget` rule."""
+    if bin_hex_digits < 1 or bin_hex_digits > 8:
+        raise ValueError(f"bin_hex_digits must be 1..8, got {bin_hex_digits}")
+    budgets = budget if isinstance(budget, dict) else None
+    if budgets is not None and any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    if budgets is None and budget < 0:
+        raise ValueError("budget must be non-negative")
+
+    from ..operators.dedup import tokens_col
+
+    base = df.select(
+        F.col(id_col),
+        F.col(by).cast("string").alias("__g"),
+        _digest(F.col(id_col), salt).alias("__h"),
+        F.size(F.filter(tokens_col(text_col), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "__bin",
+        F.conv(F.substring("__h", 1, bin_hex_digits), 16, 10).cast("long"),
+    )
+
+    # the ONLY driver-side data: one (token-sum) row per non-empty
+    # (group, bin) — bounded by groups x 16^bin_hex_digits
+    sums = base.groupBy("__g", "__bin").agg(F.sum("n_tokens").alias("s")).collect()
+    per_group: dict = {}
+    for r in sums:
+        per_group.setdefault(r["__g"], []).append((r["__bin"], r["s"]))
+    verdicts = []  # (group, bin, verdict, tokens-before-bin)
+    for g, bins in per_group.items():
+        b_g = budgets.get(g, 0) if budgets is not None else budget
+        cum = 0
+        for b, s in sorted(bins):
+            if cum >= b_g:
+                verdicts.append((g, b, "drop", cum))
+            elif cum + s < b_g:
+                verdicts.append((g, b, "keep", cum))
+            else:
+                verdicts.append((g, b, "edge", cum))
+            cum += s
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        verdicts, "__g string, __bin long, __v string, __before long"
+    )
+    joined = base.join(F.broadcast(vdf), ["__g", "__bin"], "left")
+
+    # bulk path: verdict decided, NO shuffle — the corpus flows scan ->
+    # broadcast join -> project
+    bulk = joined.filter(F.col("__v") != "edge").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("__v") == "keep").alias("keep"),
+    )
+
+    # edge path: at most ONE bin per group resolves per-doc; the window
+    # sorts only those rows (a bin ~ corpus/16^bin_hex_digits docs)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__g", "__bin")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if budgets is not None:
+        bcol = F.coalesce(
+            F.create_map(
+                *[x for g, b in budgets.items() for x in (F.lit(g), F.lit(b))]
+            )[F.col("__g")],
+            F.lit(0),
+        )
+    else:
+        bcol = F.lit(budget)
+    edge = joined.filter(F.col("__v") == "edge").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (
+            F.col("__before")
+            + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            < bcol
+        ).alias("keep"),
+    )
+    return bulk.unionByName(edge)
