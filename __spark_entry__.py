@@ -926,6 +926,21 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_logprob(docs, model)
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: target = the en docs (a stand-in
+    for "make the crawl look like English Wikipedia"), background = the
+    whole corpus, both fit at top_k=500 so pruning + both OOV floors are
+    exercised; every doc scored by mean unigram log-ratio. The oracle
+    re-runs both fits, the floor difference, and the per-doc mean in
+    DuckDB (functions/lm.py)."""
+    from tetrex_spark.functions.lm import importance_weights, unigram_model
+
+    docs = _docs(spark, sf_dir)
+    tgt = unigram_model(docs.filter(F.col("lang") == "en"), top_k=500)
+    bg = unigram_model(docs, top_k=500)
+    return importance_weights(docs, tgt, bg)
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget fill (2000 tokens/lang in md5 order):
     the "mix N tokens per language" step. The Spark side never runs a
@@ -1026,6 +1041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: binned budget cut vs DuckDB's direct window
         # cumsum in the same md5 order
         "token_budget": q_token_budget,
+        # oracle-checked: both unigram fits + floor difference + per-doc
+        # mean log-ratio re-run in DuckDB
+        "importance_weights": q_importance_weights,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1237,6 +1255,49 @@ def oracle_sql() -> dict[str, str]:
             where md5('r5:' || cast(doc_id as varchar))
                   < '{_hex_threshold(0.2)}'
         """,
+        # importance_weights: both fits (target=en, background=all,
+        # top-500 each), both OOV floors, and the per-doc mean log-ratio
+        # re-derived in DuckDB
+        "importance_weights": """
+            with toks as (select doc_id, lang, __TOKS__ as t from documents),
+            tok as (select doc_id, lang, unnest(t) as token from toks),
+            tok_ne as (
+              select doc_id, lang, token from tok where token <> ''
+            ),
+            tfit as (
+              select token, count(*) as cnt from tok_ne
+              where lang = 'en' group by 1
+            ),
+            ttot as (select sum(cnt) as total from tfit),
+            tmodel as (
+              select token, ln(cnt * 1.0 / total) as lt
+              from tfit, ttot order by cnt desc, token asc limit 500
+            ),
+            bfit as (select token, count(*) as cnt from tok_ne group by 1),
+            btot as (select sum(cnt) as total from bfit),
+            bmodel as (
+              select token, ln(cnt * 1.0 / total) as lb
+              from bfit, btot order by cnt desc, token asc limit 500
+            ),
+            fl as (
+              select ln(0.5 / ttot.total) as ft, ln(0.5 / btot.total) as fb
+              from ttot, btot
+            ),
+            scored as (
+              select d.doc_id, count(*) as n_tokens,
+                     avg(coalesce(tm.lt, fl.ft) - coalesce(bm.lb, fl.fb))
+                       as mean_logratio
+              from tok_ne d
+              left join tmodel tm using (token)
+              left join bmodel bm using (token)
+              cross join fl
+              group by 1
+            )
+            select doc.doc_id,
+                   coalesce(s.n_tokens, 0)::bigint as n_tokens,
+                   s.mean_logratio
+            from documents doc left join scored s using (doc_id)
+        """.replace("__TOKS__", _TOKS),
         # token_budget: DuckDB runs the NAIVE formulation (per-lang
         # window cumsum in (md5, doc_id) order) that the Spark side's
         # binned cut must equal exactly

@@ -255,6 +255,7 @@ def main() -> None:
         "decontaminate",
         "lm_quality",
         "token_budget",
+        "importance_weights",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -102,3 +102,68 @@ def test_top_k_plan_is_take_ordered(spark, fit_docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# -- importance_weights (DSIR-style) -----------------------------------------
+
+
+def test_importance_weights_exact(spark):
+    from tetrex_spark.functions.lm import importance_weights
+
+    tgt = unigram_model(_df(spark, [(0, "a a b")]))       # a:2 b:1 /3
+    bg = unigram_model(_df(spark, [(0, "a c c c")]))      # a:1 c:3 /4
+    ft, fb = math.log(0.5 / 3), math.log(0.5 / 4)
+    lr = {
+        "a": math.log(2 / 3) - math.log(1 / 4),
+        "b": math.log(1 / 3) - fb,
+        "c": ft - math.log(3 / 4),
+        "zz": ft - fb,
+    }
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(
+            _df(spark, [(1, "a b c zz"), (2, "")]), tgt, bg
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["mean_logratio"] == pytest.approx(
+        sum(lr.values()) / 4
+    )
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["mean_logratio"] is None
+
+
+def test_importance_weights_ranks_target_like_docs_higher(spark):
+    from tetrex_spark.functions.lm import importance_weights
+
+    tgt = unigram_model(_df(spark, [(0, "alpha beta gamma alpha beta")]))
+    bg = unigram_model(
+        _df(spark, [(0, "alpha beta gamma noise junk spam eggs ham")])
+    )
+    s = {
+        r["doc_id"]: r["mean_logratio"]
+        for r in importance_weights(
+            _df(spark, [(1, "alpha beta alpha"), (2, "junk spam eggs")]),
+            tgt,
+            bg,
+        ).collect()
+    }
+    assert s[1] > 0 > s[2]
+
+
+def test_importance_weights_plan_broadcasts(spark):
+    from tetrex_spark.functions.lm import importance_weights
+
+    tgt = unigram_model(_df(spark, [(0, "a a b")]))
+    bg = unigram_model(_df(spark, [(0, "a c")]))
+    plan = (
+        importance_weights(_df(spark, [(1, "a b")]), tgt, bg)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin [token" in plan
+    # allowed sort-merges: the models' full-outer merge (model-sized,
+    # bounded by top_k; full outer cannot broadcast) and the final
+    # verdict join on 8-byte doc ids (AQE's call) — the corpus-side
+    # token join must be the broadcast one
+    assert plan.count("SortMergeJoin [token") == 1
+    assert "FullOuter" in plan

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.dedup import tokens_col
 
-__all__ = ["unigram_model", "doc_logprob"]
+__all__ = ["unigram_model", "doc_logprob", "importance_weights"]
 
 
 def unigram_model(
@@ -108,5 +108,78 @@ def doc_logprob(
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
             F.col("mean_logp"),
             F.exp(-F.col("mean_logp")).alias("perplexity"),
+        )
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_model: DataFrame,
+    background_model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_tokens, mean_logratio): DSIR-style importance weights
+    (Xie et al. 2023) — per doc, the mean unigram log-likelihood ratio
+    ln p_target(t) / ln p_background(t) between two unigram_model fits.
+    Positive = looks like the target domain; rank or hash-threshold on
+    it to resample a raw crawl toward a quality target (the selector
+    behind "make CommonCrawl look like Wikipedia").
+
+    Each side falls to its own OOV floor ln(0.5/total) when a token is
+    missing from that model; a token in neither model contributes the
+    constant floor difference. Same scale shape as doc_logprob: the two
+    models full-outer-merge into ONE broadcast (token, logratio) map
+    (bounded by the models' top_k), the corpus explodes tokens and
+    LEFT-broadcast-joins it — never shuffled on token — and the per-doc
+    mean aggregates with map-side combine. Docs with no tokens keep a
+    null-scored row."""
+    floors = (
+        target_model.select(F.max("total").alias("__tt"))
+        .crossJoin(background_model.select(F.max("total").alias("__tb")))
+        .select(
+            F.log(F.lit(0.5) / F.col("__tt")).alias("__ft"),
+            F.log(F.lit(0.5) / F.col("__tb")).alias("__fb"),
+        )
+    )
+    merged = (
+        target_model.select("token", F.col("logp").alias("__lt"))
+        .join(
+            background_model.select("token", F.col("logp").alias("__lb")),
+            "token",
+            "full",
+        )
+        .crossJoin(F.broadcast(floors))
+        .select(
+            "token",
+            (
+                F.coalesce(F.col("__lt"), F.col("__ft"))
+                - F.coalesce(F.col("__lb"), F.col("__fb"))
+            ).alias("__lr"),
+        )
+    )
+    scored = (
+        docs.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .join(F.broadcast(merged), "token", "left")
+        .crossJoin(F.broadcast(floors))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(
+                F.coalesce(F.col("__lr"), F.col("__ft") - F.col("__fb"))
+            ).alias("mean_logratio"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("mean_logratio"),
         )
     )
