@@ -223,3 +223,21 @@ def test_token_budget_validation(spark):
         token_budget_sample(df, -1)
     with _pt.raises(ValueError, match="non-negative"):
         token_budget_sample(df, {"en": -5})
+
+
+def test_token_budget_null_group(spark):
+    """Docs with a null group column must not vanish (null join keys
+    match nothing) — they form their own group: budgeted under an int
+    budget, zero-budget under a dict."""
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(0, "a b c", None), (1, "d e f", "en"), (2, "g h", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = token_budget_sample(df, 100).collect()
+    assert {r["doc_id"] for r in out} == {0, 1, 2}
+    assert all(r["keep"] for r in out)
+    out2 = {r["doc_id"]: r["keep"]
+            for r in token_budget_sample(df, {"en": 100}).collect()}
+    assert out2 == {0: False, 1: True, 2: False}

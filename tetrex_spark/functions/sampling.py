@@ -145,9 +145,12 @@ def token_budget_sample(
 
     from ..operators.dedup import tokens_col
 
+    # null groups map to a sentinel: a null join key would match nothing
+    # and silently DROP those docs from both output paths; as a group
+    # they behave like any other unknown group (dict budgets: 0)
     base = df.select(
         F.col(id_col),
-        F.col(by).cast("string").alias("__g"),
+        F.coalesce(F.col(by).cast("string"), F.lit("\x00")).alias("__g"),
         _digest(F.col(id_col), salt).alias("__h"),
         F.size(F.filter(tokens_col(text_col), lambda t: t != ""))
         .cast("long")
