@@ -444,8 +444,11 @@ def incremental_neardup_pairs(
     )
     inc_sets = inc_ss.select(F.col("id").alias("__iid"), F.col("s").alias("s_a"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
+    # cand is checkpointed (exact size stats), so AQE broadcasts it when
+    # the delta is small — a FORCED broadcast would be an executor-memory
+    # ceiling when a corpus-sized increment is gated (many candidates)
     return (
-        F.broadcast(cand).join(inc_sets, "__iid").join(ref_sets, "ref_id")
+        cand.join(inc_sets, "__iid").join(ref_sets, "ref_id")
         .withColumn("jaccard", inter / (F.size("s_a") + F.size("s_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select(
