@@ -241,3 +241,19 @@ def test_token_budget_null_group(spark):
     out2 = {r["doc_id"]: r["keep"]
             for r in token_budget_sample(df, {"en": 100}).collect()}
     assert out2 == {0: False, 1: True, 2: False}
+
+
+def test_token_budget_plan_shape(spark):
+    """Bulk path: scan -> broadcast verdict join -> project, NO
+    sort-merge anywhere; the only hash exchange feeds the edge-bin
+    window (pre-filtered to edge rows)."""
+    from tetrex_spark.functions.sampling import token_budget_sample
+
+    df = _budget_corpus(spark)
+    plan = (
+        token_budget_sample(df, 80)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 2  # bulk + edge verdict join
+    assert plan.count("Window") == 1
