@@ -941,6 +941,17 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs, tgt, bg)
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations (count-ordered, min_count=3)
+    with PMI — phrase mining / the BPE first-merge count. Count ordering
+    keeps the top-k boundary integer-deterministic across engines; the
+    oracle re-derives bigram + unigram counts and the same PMI formula
+    in DuckDB (functions/lm.py)."""
+    from tetrex_spark.functions.lm import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), min_count=3, top_k=50)
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget fill (2000 tokens/lang in md5 order):
     the "mix N tokens per language" step. The Spark side never runs a
@@ -1044,6 +1055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: both unigram fits + floor difference + per-doc
         # mean log-ratio re-run in DuckDB
         "importance_weights": q_importance_weights,
+        # oracle-checked: bigram/unigram counts + PMI re-derived in
+        # DuckDB, count-ordered top-50
+        "bigram_pmi": q_bigram_pmi,
         "simhash_pairs": q_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         # oracle-checked: the STREAMING stateful gate against the same
@@ -1297,6 +1311,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_tokens, 0)::bigint as n_tokens,
                    s.mean_logratio
             from documents doc left join scored s using (doc_id)
+        """.replace("__TOKS__", _TOKS),
+        # bigram_pmi: bigram + unigram counts, totals, and the PMI
+        # formula re-derived in DuckDB; count-ordered top-50 keeps the
+        # boundary integer-deterministic
+        "bigram_pmi": """
+            with toks as (select __TOKS__ as t from documents),
+            ne as (select list_filter(t, x -> x <> '') as t from toks),
+            big as (
+              select t[i] as tok_a, t[i + 1] as tok_b, count(*) as cnt
+              from ne, unnest(range(1, len(t))) r(i)
+              where len(t) >= 2
+              group by 1, 2
+              having count(*) >= 3
+            ),
+            uni as (
+              select x as token, count(*) as c
+              from ne, unnest(t) u(x) group by 1
+            ),
+            tot as (select sum(c) as n_uni from uni),
+            nb as (select sum(greatest(len(t) - 1, 0)) as n_bi from ne)
+            select b.tok_a, b.tok_b, b.cnt,
+                   ln((b.cnt * 1.0 / n_bi)
+                      / ((ua.c * 1.0 / n_uni) * (ub.c * 1.0 / n_uni)))
+                     as pmi
+            from big b
+            join uni ua on ua.token = b.tok_a
+            join uni ub on ub.token = b.tok_b
+            cross join tot cross join nb
+            order by b.cnt desc, b.tok_a asc, b.tok_b asc
+            limit 50
         """.replace("__TOKS__", _TOKS),
         # token_budget: DuckDB runs the NAIVE formulation (per-lang
         # window cumsum in (md5, doc_id) order) that the Spark side's

@@ -256,6 +256,7 @@ def main() -> None:
         "lm_quality",
         "token_budget",
         "importance_weights",
+        "bigram_pmi",
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -167,3 +167,63 @@ def test_importance_weights_plan_broadcasts(spark):
     # token join must be the broadcast one
     assert plan.count("SortMergeJoin [token") == 1
     assert "FullOuter" in plan
+
+
+# -- bigram_pmi (collocations) ------------------------------------------------
+
+
+def test_bigram_pmi_exact(spark):
+    from tetrex_spark.functions.lm import bigram_pmi
+
+    # tokens: x:3 y:3 z:2 (n_uni 8); bigrams: (x,y):3 (y,z):2 (z,x):1
+    # -> n_bi = 4 + 2 = 6
+    docs = _df(spark, [(0, "x y z x y"), (1, "x y z")])
+    out = {(r["tok_a"], r["tok_b"]): r
+           for r in bigram_pmi(docs, min_count=1, top_k=10).collect()}
+    assert out[("x", "y")]["cnt"] == 3
+    assert out[("x", "y")]["pmi"] == pytest.approx(
+        math.log((3 / 6) / ((3 / 8) * (3 / 8)))
+    )
+    assert out[("y", "z")]["cnt"] == 2
+    assert ("z", "x") in out and out[("z", "x")]["cnt"] == 1
+
+
+def test_bigram_pmi_min_count_and_order(spark):
+    from tetrex_spark.functions.lm import bigram_pmi
+
+    docs = _df(spark, [(0, "a b a b a b c d")])
+    rows = bigram_pmi(docs, min_count=2, top_k=10).collect()
+    assert [(r["tok_a"], r["tok_b"], r["cnt"]) for r in rows] == [
+        ("a", "b", 3), ("b", "a", 2)
+    ]
+    top1 = bigram_pmi(docs, min_count=1, top_k=1).collect()
+    assert (top1[0]["tok_a"], top1[0]["tok_b"]) == ("a", "b")
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    """A fused phrase ("new york") gets higher PMI than a chance pair of
+    frequent tokens."""
+    from tetrex_spark.functions.lm import bigram_pmi
+
+    docs = _df(spark, [
+        (0, "new york new york new york"),
+        (1, "the cat the dog the bird the fish"),
+    ])
+    out = {(r["tok_a"], r["tok_b"]): r["pmi"]
+           for r in bigram_pmi(docs, min_count=1, order_by="pmi").collect()}
+    assert out[("new", "york")] > out[("the", "cat")]
+
+
+def test_bigram_pmi_short_and_empty_docs(spark):
+    from tetrex_spark.functions.lm import bigram_pmi
+
+    docs = _df(spark, [(0, "solo"), (1, ""), (2, "a b")])
+    rows = bigram_pmi(docs, min_count=1).collect()
+    assert [(r["tok_a"], r["tok_b"]) for r in rows] == [("a", "b")]
+
+
+def test_bigram_pmi_validation(spark):
+    from tetrex_spark.functions.lm import bigram_pmi
+
+    with pytest.raises(ValueError, match="order_by"):
+        bigram_pmi(_df(spark, [(0, "a b")]), order_by="zipf")

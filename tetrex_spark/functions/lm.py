@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.dedup import tokens_col
 
-__all__ = ["unigram_model", "doc_logprob", "importance_weights"]
+__all__ = ["unigram_model", "doc_logprob", "importance_weights", "bigram_pmi"]
 
 
 def unigram_model(
@@ -183,3 +183,80 @@ def importance_weights(
             F.col("mean_logratio"),
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    top_k: int = 1000,
+    order_by: str = "count",
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok_a, tok_b, cnt, pmi): adjacent-token collocations with
+    pointwise mutual information ln(p(ab) / (p(a) p(b))) — phrase mining
+    (Mikolov et al. 2013 §4's phrase score is a shifted variant), and
+    the counting step a BPE-style vocab induction starts from.
+
+    Scale shape: bigram emission is JVM-side (transform over window
+    starts, exploded); the ONE heavy shuffle is the bigram groupBy
+    count, map-side combined and pruned by min_count BEFORE the two
+    unigram joins, which shuffle only surviving bigrams against the
+    unigram count table; totals ride as broadcast scalars; top_k is
+    TakeOrderedAndProject. order_by="count" (default) ranks by raw
+    frequency — integer-deterministic across engines; "pmi" ranks by
+    the float score (ties broken by tokens)."""
+    if order_by not in ("count", "pmi"):
+        raise ValueError(f"order_by must be 'count' or 'pmi', got {order_by!r}")
+    toks = tokens_col(text_col)
+    ne = F.filter(toks, lambda t: t != "")
+    pairs = F.when(
+        F.size(ne) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ne) - 1),
+            lambda i: F.struct(
+                F.element_at(ne, i).alias("tok_a"),
+                F.element_at(ne, i + 1).alias("tok_b"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<tok_a:string,tok_b:string>>"))
+    big = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(ne).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # totals + both joins read it
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni"))
+    # total bigram mass = sum over docs of max(n_tokens - 1, 0) — one
+    # cheap scan-side aggregate (summing the pruned bigram table would
+    # under-count by the min_count tail)
+    n_bi = docs.select(
+        F.greatest(F.size(ne) - 1, F.lit(0)).alias("m")
+    ).agg(F.sum("m").alias("n_bi"))
+    scored = (
+        big.join(uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a")), "tok_a")
+        .join(uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b")), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "tok_a",
+            "tok_b",
+            "cnt",
+            F.log(
+                (F.col("cnt") / F.col("n_bi"))
+                / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+            ).alias("pmi"),
+        )
+    )
+    if order_by == "count":
+        order = [F.col("cnt").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()]
+    else:
+        order = [F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()]
+    return scored.orderBy(*order).limit(top_k)
