@@ -151,6 +151,15 @@ def main() -> None:
         # the gate, min-of-2 was ±15-25% window noise on sub-second
         # entries (BENCH_r04) — round-over-round deltas were unreadable.
         nonlocal retries_left
+        # every entry starts with a clean block manager: earlier
+        # entries' caches and (via gc -> ContextCleaner) their
+        # localCheckpoint RDDs would otherwise accumulate and penalize
+        # late entries — hyperplane (last) measured 2.1 s in a 26-entry
+        # suite and 3.7 s code-identical in a 33-entry one
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()
         attempts: list[tuple[float, float]] = []
         while True:
             meter.start()
