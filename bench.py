@@ -194,6 +194,23 @@ def main() -> None:
     binned = with_bin_id(corpus, 64)
     timed("sketch_build_merge", lambda: build_sketches(binned, specs).count())
 
+    # 1b. high-threshold embedding near-dup: the hyperplane-LSH path with
+    # the packed-BLAS candidate verify (the true near-dup regime where
+    # blocking prunes; the flagship entry covers the moderate-threshold
+    # block-exact regime). Runs over the twin-augmented corpus
+    # (entrymod._emb_augmented — the raw fixture has no pairs above cosine
+    # ~0.6) so the verify path is exercised with real survivors; the same
+    # input is DuckDB-oracled as the hyperplane_pairs_t90 CORRECTNESS
+    # entry. Runs EARLY on purpose: the pre-wait guarantees the suite's
+    # start is quiet, and this BLAS/bandwidth-bound entry is the most
+    # sensitive to neighbor bandwidth the core-count gate cannot see —
+    # in tail position it read 2.1 s in clean windows and 3.2-8.2 s
+    # burst-adjacent, code-identical.
+    timed(
+        "hyperplane_lsh_pairs_t90",
+        lambda: entrymod.queries()["hyperplane_pairs_t90"](spark, sf_dir).count(),
+    )
+
     # 2. motif index build + queries (index cached across the 3 patterns)
     def _build_index() -> int:
         entrymod._index_cache.clear()
@@ -269,18 +286,6 @@ def main() -> None:
     ]:
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
-
-    # high-threshold embedding near-dup: the hyperplane-LSH path with the
-    # packed-BLAS candidate verify (the true near-dup regime where
-    # blocking prunes; the flagship entry covers the moderate-threshold
-    # block-exact regime). Runs over the twin-augmented corpus
-    # (entrymod._emb_augmented — the raw fixture has no pairs above cosine
-    # ~0.6) so the verify path is exercised with real survivors; the same
-    # input is DuckDB-oracled as the hyperplane_pairs_t90 CORRECTNESS entry.
-    timed(
-        "hyperplane_lsh_pairs_t90",
-        lambda: entrymod.queries()["hyperplane_pairs_t90"](spark, sf_dir).count(),
-    )
 
     # Pipeline entries (single-shot, reported under "pipelines" and NOT
     # summed into the headline total: the operator-suite total stays
