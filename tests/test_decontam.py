@@ -108,3 +108,26 @@ def test_n1_token_membership(spark, bench):
     doc = _df(spark, [(9, WORDS[10] + " zzz " + WORDS[29])])
     [r] = decontaminate(doc, bench, n=1).collect()
     assert (r["n_hit_grams"], r["is_clean"]) == (2, False)
+
+
+def test_cli_decont_end_to_end(spark, tmp_path, capsys):
+    from tetrex_spark.cli import main
+
+    corpus = str(tmp_path / "corpus.parquet")
+    _df(spark, [(0, " ".join(WORDS[:40])), (1, "unrelated text entirely")]
+        ).write.parquet(corpus)
+    bench = str(tmp_path / "bench.parquet")
+    _df(spark, [(0, " ".join(WORDS[10:30]))]).write.parquet(bench)
+    out = str(tmp_path / "verdicts")
+    rc = main(["decont", "--corpus", corpus, "--benchmark", bench,
+               "--output", out])
+    assert rc == 0
+    assert "1/2 docs contaminated" in capsys.readouterr().out
+    got = {r["doc_id"]: r["is_clean"] for r in spark.read.parquet(out).collect()}
+    assert got == {0: False, 1: True}
+
+    out2 = str(tmp_path / "clean")
+    rc = main(["decont", "--corpus", corpus, "--benchmark", bench,
+               "--output", out2, "--clean-only"])
+    assert rc == 0
+    assert [r["doc_id"] for r in spark.read.parquet(out2).collect()] == [1]

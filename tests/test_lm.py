@@ -227,3 +227,19 @@ def test_bigram_pmi_validation(spark):
 
     with pytest.raises(ValueError, match="order_by"):
         bigram_pmi(_df(spark, [(0, "a b")]), order_by="zipf")
+
+
+def test_cli_lmscore_end_to_end(spark, tmp_path, capsys):
+    from tetrex_spark.cli import main
+
+    corpus = str(tmp_path / "corpus.parquet")
+    _df(spark, [(0, "a a b c"), (1, "a b d"), (2, "zz yy")]).write.parquet(
+        corpus
+    )
+    out = str(tmp_path / "scores")
+    rc = main(["lmscore", "--corpus", corpus, "--output", out])
+    assert rc == 0
+    assert "Scored 3 docs" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert set(got.columns) == {"doc_id", "n_tokens", "mean_logp", "perplexity"}

@@ -418,6 +418,57 @@ def cmd_ndgate(args) -> int:
     return 0
 
 
+def cmd_decont(args) -> int:
+    """Flag (or drop, with --clean-only) training docs sharing token
+    n-grams with a benchmark/eval set."""
+    from pyspark.sql import functions as F
+
+    from .operators.decontam import decontaminate
+
+    spark = _spark("decont")
+    docs = read_corpus(spark, args.corpus)
+    bench = read_corpus(spark, args.benchmark)
+    verdict = decontaminate(
+        docs, bench, n=args.n, min_hits=args.min_hits,
+        text_col=args.text_col, id_col=args.id_col,
+        bench_text_col=args.bench_text_col,
+    )
+    if args.clean_only:
+        out = docs.join(
+            verdict.filter("is_clean").select(args.id_col), args.id_col
+        )
+    else:
+        out = verdict
+    out.write.mode("overwrite").parquet(args.output)
+    n_bad = verdict.filter(~F.col("is_clean")).count()
+    n_all = verdict.count()
+    print(f"Decontamination: {n_bad}/{n_all} docs contaminated.")
+    return 0
+
+
+def cmd_lmscore(args) -> int:
+    """Fit a unigram LM on a reference corpus (or the corpus itself) and
+    write per-doc perplexity scores."""
+    from pyspark.sql import functions as F
+
+    from .functions.lm import doc_logprob, unigram_model
+
+    spark = _spark("lmscore")
+    docs = read_corpus(spark, args.corpus)
+    fit_on = read_corpus(spark, args.fit_corpus) if args.fit_corpus else docs
+    model = unigram_model(fit_on, top_k=args.top_k, min_count=args.min_count,
+                          text_col=args.text_col)
+    scored = doc_logprob(docs, model, text_col=args.text_col,
+                         id_col=args.id_col)
+    scored.write.mode("overwrite").parquet(args.output)
+    row = scored.agg(
+        F.count("*").alias("n"),
+        F.avg("perplexity").alias("mean_ppl"),
+    ).collect()[0]
+    print(f"Scored {row['n']} docs; mean perplexity {row['mean_ppl']:.2f}.")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tetrex_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -566,6 +617,33 @@ def main(argv: list[str] | None = None) -> int:
                      help="write the surviving increment rows instead of "
                           "(id, is_new) verdicts")
     png.set_defaults(fn=cmd_ndgate)
+
+    pdc = sub.add_parser("decont")
+    pdc.add_argument("--corpus", required=True)
+    pdc.add_argument("--benchmark", required=True,
+                     help="eval-set parquet/table with a text column")
+    pdc.add_argument("--output", required=True)
+    pdc.add_argument("--id-col", default="doc_id")
+    pdc.add_argument("--text-col", default="text")
+    pdc.add_argument("--bench-text-col", default="text")
+    pdc.add_argument("--n", type=int, default=13, help="token n-gram width")
+    pdc.add_argument("--min-hits", type=int, default=1,
+                     help="shared distinct grams to count as contaminated")
+    pdc.add_argument("--clean-only", action="store_true",
+                     help="write surviving docs instead of verdicts")
+    pdc.set_defaults(fn=cmd_decont)
+
+    pl = sub.add_parser("lmscore")
+    pl.add_argument("--corpus", required=True)
+    pl.add_argument("--output", required=True)
+    pl.add_argument("--fit-corpus", default=None,
+                    help="reference corpus to fit the model on "
+                         "(default: the corpus itself)")
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--top-k", type=int, default=1_000_000)
+    pl.add_argument("--min-count", type=int, default=1)
+    pl.set_defaults(fn=cmd_lmscore)
 
     args = p.parse_args(argv)
     return args.fn(args)
