@@ -210,25 +210,33 @@ def bigram_pmi(
         raise ValueError(f"order_by must be 'count' or 'pmi', got {order_by!r}")
     toks = tokens_col(text_col)
     ne = F.filter(toks, lambda t: t != "")
+    # Tokenize ONCE into a bound column: referencing the tokenizer
+    # expression inside the bigram transform's lambda re-evaluated
+    # split+regexp_replace PER BIGRAM (O(tokens^2) normalize work per
+    # doc — this single entry measured ~28x on the emission scan). The
+    # projection boundary survives CollapseProject because `__ts` is
+    # non-cheap and multiply referenced.
+    tok_docs = docs.select(ne.alias("__ts"))
+    ts = F.col("__ts")
     pairs = F.when(
-        F.size(ne) >= 2,
+        F.size(ts) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(ne) - 1),
+            F.sequence(F.lit(1), F.size(ts) - 1),
             lambda i: F.struct(
-                F.element_at(ne, i).alias("tok_a"),
-                F.element_at(ne, i + 1).alias("tok_b"),
+                F.element_at(ts, i).alias("tok_a"),
+                F.element_at(ts, i + 1).alias("tok_b"),
             ),
         ),
     ).otherwise(F.expr("array()").cast("array<struct<tok_a:string,tok_b:string>>"))
     big = (
-        docs.select(F.explode(pairs).alias("p"))
+        tok_docs.select(F.explode(pairs).alias("p"))
         .select("p.tok_a", "p.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
     uni = (
-        docs.select(F.explode(ne).alias("token"))
+        tok_docs.select(F.explode(ts).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)  # totals + both joins read it
@@ -237,8 +245,8 @@ def bigram_pmi(
     # total bigram mass = sum over docs of max(n_tokens - 1, 0) — one
     # cheap scan-side aggregate (summing the pruned bigram table would
     # under-count by the min_count tail)
-    n_bi = docs.select(
-        F.greatest(F.size(ne) - 1, F.lit(0)).alias("m")
+    n_bi = tok_docs.select(
+        F.greatest(F.size(ts) - 1, F.lit(0)).alias("m")
     ).agg(F.sum("m").alias("n_bi"))
     scored = (
         big.join(uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a")), "tok_a")

