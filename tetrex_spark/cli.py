@@ -599,9 +599,10 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--k", type=int, default=3, help="shingle width")
     pn.add_argument("--num-perm", type=int, default=128)
     pn.add_argument("--bands", type=int, default=32)
-    pn.add_argument("--n-shards", type=int, default=64,
+    pn.add_argument("--n-shards", type=int, default=None,
                     help="partition shards for buckets and sets (a small "
-                         "increment reads only its shards)")
+                         "increment reads only its shards); default: "
+                         "scale-adaptive, ~100k reps per shard")
     pn.add_argument("--max-bucket", type=int, default=512,
                     help="bucket cap; over-cap buckets dropped and the "
                          "count recorded in params.json")

@@ -170,30 +170,43 @@ def token_budget_sample(
     per_group: dict = {}
     for r in sums:
         per_group.setdefault(r["__g"], []).append((r["__bin"], r["s"]))
-    verdicts = []  # (group, bin, verdict, tokens-before-bin)
+    # cum is monotone non-decreasing along a group's sorted bins, so the
+    # per-bin verdicts are always keep* [edge] drop* — ship ONE boundary
+    # row per GROUP (edge bin, tokens before it, first non-keep bin)
+    # instead of a groups x bins verdict table (the re-shipped verdict
+    # frame was the entry's largest driver->executor transfer):
+    #   keep  iff cut is null or bin < cut
+    #   edge  iff bin == edge_bin
+    #   drop  otherwise
+    summaries = []  # (group, edge_bin | None, tokens-before-edge, cut | None)
     for g, bins in per_group.items():
         b_g = budgets.get(g, 0) if budgets is not None else budget
         cum = 0
+        edge_bin = before_edge = cut = None
         for b, s in sorted(bins):
             if cum >= b_g:
-                verdicts.append((g, b, "drop", cum))
-            elif cum + s < b_g:
-                verdicts.append((g, b, "keep", cum))
-            else:
-                verdicts.append((g, b, "edge", cum))
+                cut = b
+                break
+            if cum + s >= b_g:
+                edge_bin, before_edge, cut = b, cum, b
+                break
             cum += s
+        summaries.append((g, edge_bin, before_edge or 0, cut))
     spark = df.sparkSession
     vdf = spark.createDataFrame(
-        verdicts, "__g string, __bin long, __v string, __before long"
+        summaries, "__g string, __e long, __before long, __cut long"
     )
-    joined = base.join(F.broadcast(vdf), ["__g", "__bin"], "left")
+    joined = base.join(F.broadcast(vdf), ["__g"], "left")
+    is_edge = F.col("__e").isNotNull() & (F.col("__bin") == F.col("__e"))
 
     # bulk path: verdict decided, NO shuffle — the corpus flows scan ->
     # broadcast join -> project
-    bulk = joined.filter(F.col("__v") != "edge").select(
+    bulk = joined.filter(~is_edge).select(
         F.col(id_col),
         F.col("n_tokens"),
-        (F.col("__v") == "keep").alias("keep"),
+        (F.col("__cut").isNull() | (F.col("__bin") < F.col("__cut"))).alias(
+            "keep"
+        ),
     )
 
     # edge path: at most ONE bin per group resolves per-doc; the window
@@ -214,7 +227,7 @@ def token_budget_sample(
         )
     else:
         bcol = F.lit(budget)
-    edge = joined.filter(F.col("__v") == "edge").select(
+    edge = joined.filter(is_edge).select(
         F.col(id_col),
         F.col("n_tokens"),
         (

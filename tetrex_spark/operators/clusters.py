@@ -35,22 +35,29 @@ def _canon_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, *, dedup: bool = True) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
     min(N(u) ∪ {u}). Preserves connectivity, strictly reduces large
-    nodes' eccentricity."""
+    nodes' eccentricity.
+
+    `dedup=False` skips the output distinct (duplicates are tolerated
+    by _small_star and dedupped by its final distinct). The round loop
+    does NOT use it: for clique-shaped components large-star's distinct
+    collapses O(k^2) duplicate rows to O(k) before they reach
+    small-star's shuffles — worth a dedicated exchange at scale.
+    Output rows are canonical (src > dst, no self loops) either way."""
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     m = F.least(F.col("mn"), F.col("src"))
-    return (
+    out = (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), m.alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame, *, pre_canonical: bool = False) -> DataFrame:
@@ -58,11 +65,12 @@ def _small_star(e: DataFrame, *, pre_canonical: bool = False) -> DataFrame:
     and all its smaller neighbors off min(N⁻(u) ∪ {u}).
 
     `pre_canonical=True` skips the canonicalize+distinct exchange when
-    the caller guarantees the input is already (src > dst, no self
-    loops, distinct) — true for every _large_star output (it filters
-    src != dst, emits dst > src pairs re-oriented, and ends in
-    distinct), so the round loop saves one full edge-set shuffle per
-    round."""
+    the caller guarantees the input is already canonical (src > dst, no
+    self loops) — true for every _large_star output (it filters
+    src != dst and emits dst > src pairs re-oriented). Duplicate rows
+    are tolerated (the min aggregate is duplicate-insensitive and the
+    final distinct dedups `moved`), though the round loop keeps
+    large-star's distinct — see its docstring."""
     d = e if pre_canonical else _canon_edges(e, "src", "dst")
     mins = d.groupBy("src").agg(F.min("dst").alias("m"))
     moved = (
@@ -107,9 +115,14 @@ def connected_components(
     # materializing action, so each round costs exactly one job while
     # still truncating the iterative lineage (inputs that trip the AQE
     # checkpoint-replanning quirk are handled by the round loop's
-    # re-wrap fallback below)
+    # re-wrap fallback below). No up-front _sig of the INPUT: real
+    # near-dup edge lists are never already a small-star fixpoint, so
+    # the initial signature job only ever confirmed "not converged" —
+    # round 1's signature seeds the comparison instead (a genuinely
+    # pre-converged input costs one extra no-op round, a non-converged
+    # one saves a full action every call).
     edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
-    sig = _sig(edges)
+    sig: tuple | None = None
     for _ in range(max_iter):
         try:
             new = _small_star(

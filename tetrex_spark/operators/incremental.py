@@ -105,18 +105,20 @@ def build_membership_index(
     doc). Returns {n_buckets, n_keys, mean_fill} stats. One shuffle of
     the 16 B/doc hash projection; the text column never leaves the
     scan stage."""
+    # ONE materialized pass: distinct + repartition ON bucket (so each
+    # bucket dir is one file, not one-per-upstream-task — the rows are
+    # 16 B, the extra shuffle is cheap; the gate's pruned confirm reads
+    # open few). The hashes write, the Bloom build and the stats all
+    # read this checkpoint — the r5 shape wrote the parquet, then READ
+    # IT BACK for the Bloom pass, then read the blooms parquet back
+    # again for stats (three extra scans' worth of jobs per freeze).
     hashes = (
         _hashed(df, n_buckets, text_col, id_col)
         .select("bucket", "h", "h2")
         .distinct()
+        .repartition(F.col("bucket"))
+        .localCheckpoint(eager=True)
     )
-    # repartition ON bucket before the partitioned write so each bucket
-    # dir is one file, not one-per-upstream-task (the rows are 16 B, the
-    # extra shuffle is cheap; the gate's pruned confirm reads open few)
-    hashes.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{out_dir}/hashes")
-    stored = df.sparkSession.read.parquet(f"{out_dir}/hashes")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf["h"].to_numpy(dtype="int64").view(np.uint64)
@@ -132,17 +134,29 @@ def build_membership_index(
             }
         )
 
-    blooms = stored.groupBy("bucket").applyInPandas(build, _BLOOM_SCHEMA)
-    blooms.write.mode("overwrite").parquet(f"{out_dir}/blooms")
+    blooms = hashes.groupBy("bucket").applyInPandas(build, _BLOOM_SCHEMA).persist()
 
-    stats = (
-        df.sparkSession.read.parquet(f"{out_dir}/blooms")
-        .agg(
-            F.sum("n_keys").alias("n_keys"),
-            F.count(F.lit(1)).alias("n_filled_buckets"),
+    # the two index writes are independent readers of the checkpoint /
+    # the persisted bloom rows — run them as concurrent jobs (§2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_hashes() -> None:
+        hashes.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/hashes"
         )
-        .collect()[0]
-    )
+
+    def _write_blooms() -> None:
+        blooms.write.mode("overwrite").parquet(f"{out_dir}/blooms")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_write_hashes), pool.submit(_write_blooms)]:
+            fut.result()
+
+    stats = blooms.agg(
+        F.sum("n_keys").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_filled_buckets"),
+    ).collect()[0]
+    blooms.unpersist()
     params = {
         "_layout": LAYOUT_VERSION,
         "kind": "membership",
@@ -300,7 +314,7 @@ def build_neardup_index(
     k: int = 3,
     num_perm: int = 128,
     bands: int = 32,
-    n_shards: int = 64,
+    n_shards: int | None = None,
     max_bucket: int | None = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -341,6 +355,17 @@ def build_neardup_index(
     # (and its over-cap anti-join branch), the sets write, and the
     # over.count() all read this, and each would re-run the Arrow
     # sign+set pass otherwise
+    n_reps = ss.count()  # cache read; reused for the params stat below
+    if n_shards is None:
+        # scale-adaptive sharding (n_shards=None, the default): target
+        # ~100k representatives per shard (sets dominate at ~1-2 KB/rep
+        # -> shard files land in the 100-300 MB range the I/O guide
+        # recommends) instead of a constant 64 — a toy corpus stops
+        # paying 64-tiny-file open/list overhead on every pruned gate
+        # read, and a 10^9-rep corpus gets real pruning granularity
+        # rather than 64 multi-GB shards. Recorded in params, so gates
+        # never depend on the default.
+        n_shards = max(4, min(4096, -(-n_reps // 100_000)))
     buckets = band_buckets(ss, bands, r)
     counts = buckets.groupBy("band", "bh").count()
     # persist the (tiny, <= n*bands/max_bucket rows) over-cap list: the
@@ -380,9 +405,8 @@ def build_neardup_index(
         for fut in [pool.submit(_write_buckets), pool.submit(_write_sets)]:
             fut.result()
 
-    # sets rows are 1:1 with the checkpointed sig/set rows — count the
-    # cache, not a re-read of the parquet just written
-    n_reps = ss.count()
+    # n_reps already counted from the checkpoint above (sets rows are
+    # 1:1 with it — no re-read of the parquet just written)
     n_dropped = int(over.count()) if over is not None else 0
     if over is not None:
         over.unpersist()
