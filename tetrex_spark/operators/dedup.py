@@ -272,7 +272,7 @@ def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
 def capped_candidate_pairs(
     buckets: DataFrame, max_bucket: int | None, *, log_drops: bool = True,
     release: list | None = None, payload_col: str | None = None,
-    distinct: bool = True,
+    distinct: bool = True, persist_buckets: bool = True,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from a (id, band, bh) bucket
     table, skipping buckets with more than `max_bucket` members.
@@ -322,7 +322,17 @@ def capped_candidate_pairs(
     if capped:
         import logging
 
-        if not (buckets.storageLevel.useMemory or buckets.storageLevel.useDisk):
+        # persist_buckets=False: the caller's bucket table derives from
+        # an already-materialized checkpoint by cheap JVM expressions
+        # (explode + xxhash) — its plan branches (over-cap aggregate,
+        # both self-join sides) re-derive it from cache faster than a
+        # second cache tier's write+read, and ReuseExchange dedups the
+        # self-join sides anyway. Keep the default for Python-derived
+        # buckets (signature passes), where recomputation is a real
+        # kernel re-run.
+        if persist_buckets and not (
+            buckets.storageLevel.useMemory or buckets.storageLevel.useDisk
+        ):
             buckets = buckets.persist()
             finishers.append(buckets.unpersist)
         # The over-cap bucket list stays a DISTRIBUTED DataFrame end to end
@@ -628,6 +638,10 @@ def verify_rep_pairs(
     map-side joins; jaccard is array_intersect arithmetic on the sets.
     `release` forwards to capped_candidate_pairs (cache-release
     contract)."""
+    # persist stays ON for the bucket table (default): even though ss
+    # is checkpointed, the over-cap branch and both self-join sides
+    # otherwise re-derive the explode+xxhash tree per consumer — A/B at
+    # 50k docs measured ~1 s slower end-to-end without the cache
     cand = capped_candidate_pairs(
         band_buckets(ss, bands, r), max_bucket, release=release
     )
@@ -960,6 +974,10 @@ def _simhash_rep_level(
     cand = capped_candidate_pairs(
         buckets, max_bucket, release=handles,
         payload_col="simhash", distinct=False,
+        # persist stays ON: the bucket table sits above the groups
+        # aggregate, and without the cache the over-cap branch and the
+        # self-join sides re-run that exchange (A/B measured 3.2 s vs
+        # 2.2 s per rep-level pass at 50k docs)
     )
     rp = (
         cand.select(
@@ -978,9 +996,15 @@ def _simhash_rep_level(
                       F.lit(None).cast("long").alias("grp"),
                       "id_a", "id_b", "hamming")
             .unionByName(
-                _rep_groups(mem).select(
-                    F.lit(1).alias("part"), "grp",
-                    F.col("rid").alias("id_a"),
+                # the rep-group aggregate IS `groups` (min(id) = rid,
+                # count = csize, keyed by the fingerprint): reusing the
+                # same frame lets ReuseExchange serve this branch and
+                # the bucket branch from ONE groupBy(simhash) shuffle —
+                # the r5 shape re-aggregated mem from scratch here
+                groups.select(
+                    F.lit(1).alias("part"),
+                    F.col("simhash").alias("grp"),
+                    F.col("id").alias("id_a"),
                     F.col("csize").alias("id_b"),
                     F.lit(None).cast("int").alias("hamming"))
             )

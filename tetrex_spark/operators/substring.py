@@ -224,11 +224,15 @@ def substring_dup_spans(
     candidates exponentially rarer (sf0.1 corpus, min_len=40: 267k
     candidate pairs at k=16 vs 322 at k=32 — both verify to the same
     259 spans) while anchor density ~2/(min_len - k + 2) per char grows
-    the blocking shuffle. Default k = min(32, min_len); web-scale
-    pipelines with high thresholds (Lee et al. use ~50 tokens) get
-    sparse anchors automatically since density falls as 1/min_len."""
+    the blocking shuffle. Default k = min(28, min_len): at min_len=40
+    that is window 13, ~0.14 anchors/char — measured fastest end-to-end
+    on the 50k-doc corpus (k=32's 0.2/char anchor stream costs more in
+    the blocking shuffle than its sparser candidates save; k<=20's
+    candidate explosion swamps the verify). Web-scale pipelines with
+    high thresholds (Lee et al. use ~50 tokens) get sparse anchors
+    automatically since density falls as 1/min_len."""
     if k is None:
-        k = min(32, min_len)
+        k = min(28, min_len)
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
     window = min_len - k + 1
