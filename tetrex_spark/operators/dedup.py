@@ -183,6 +183,7 @@ _SIGSET_SCHEMA = T.StructType(
 def minhash_sigs_and_sets(
     df: DataFrame, k: int = 3, num_perm: int = 128,
     text_col: str = "text", id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sig, s): MinHash signature AND sorted distinct shingle-hash set
     from ONE tokenize+hash pass (the LSH blocking and its exact verify used
@@ -196,7 +197,13 @@ def minhash_sigs_and_sets(
     g_i(x) = splitmix64(x ^ seed_i). (A cheaper h1 + i*h2 double-hash is
     NOT sound here: minima across i track the lower envelope of lines, so
     the permutations are strongly correlated and band-match counts get fat
-    tails — observed as whole near-dup pairs missed at jaccard 0.71.)"""
+    tails — observed as whole near-dup pairs missed at jaccard 0.71.)
+
+    `passthrough` names extra input columns copied verbatim onto each
+    output row: a caller whose downstream plan needs per-rep metadata
+    (the rep-group key and member count) reads it from the ONE
+    materialized kernel table instead of re-scanning/re-aggregating the
+    corpus in a separate plan branch."""
     from ..functions.text import normalize_series, token_shingle_hashes_series
     from ..kernel.hashing import splitmix64
 
@@ -243,15 +250,21 @@ def minhash_sigs_and_sets(
                 np.unique(sh[st : st + c]).view(np.int64)
                 for st, c in zip(vstarts, counts[valid])
             ]
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy()[valid],
-                    "sig": list(sig.view(np.int64)),
-                    "s": sets,
-                }
-            )
+            out = {
+                "id": pdf[id_col].to_numpy()[valid],
+                "sig": list(sig.view(np.int64)),
+                "s": sets,
+            }
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()[valid]
+            yield pd.DataFrame(out)
 
-    return _spread(df.select(id_col, text_col)).mapInPandas(fn, _SIGSET_SCHEMA)
+    schema = T.StructType(
+        list(_SIGSET_SCHEMA)
+        + [df.schema[c] for c in passthrough]
+    )
+    cols = [id_col, text_col, *passthrough]
+    return _spread(df.select(*cols)).mapInPandas(fn, schema)
 
 
 def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
@@ -487,14 +500,16 @@ def _minhash_rep_level(
     """Steps 1-4 of minhash_lsh_pairs (pre-collapse, fused sig+set pass,
     capped blocking, exact verify), shared with minhash_lsh_edges.
     Returns (members, checkpointed rep_pairs, elig_ids, rg), where
-    `members` is a CHECKPOINTED (grp, id) frame and `rg` the
-    checkpointed (grp, rid, csize) rep-group aggregate when with_elig
-    (else the lazy docs derivation and None): the r4 revision re-derived
-    (grp, id) from the raw text in every expansion branch — ~4
-    parquet+md5 scans per consuming action — and re-aggregated the rep
-    groups twice more; checkpointing the ~40 B/doc integer/digest frames
-    once (linear, far smaller than the text they replace) makes the
-    whole member-level expansion a cache-only plan.
+    `members` is a CHECKPOINTED (grp, id) frame and `rg` /`elig_ids`
+    are projections of the kernel checkpoint when with_elig (else the
+    lazy docs derivation and None): the rep-group key and member count
+    ride the sig pass as passthrough columns, so eligibility and the
+    (grp, rid, csize) aggregate cost zero extra scans or exchanges —
+    the r4 revision re-derived (grp, id) from the raw text in every
+    expansion branch (~4 parquet+md5 scans per consuming action), and
+    r5 still paid one corpus re-scan + one (grp, id) aggregate exchange
+    as extra union branches of the fused checkpoint. The whole
+    member-level expansion remains a cache-only plan.
 
     EXACTLY TWO eager jobs run here (plus one tiny cached-aggregate read
     in the cap-stats finisher — asserted by tests/test_clusters.py's job
@@ -513,9 +528,9 @@ def _minhash_rep_level(
     # 2. one fused kernel pass, checkpointed — every downstream branch
     # (buckets, both verify sides, eligibility) reads the materialized
     # table; the tokenize/hash kernel cannot run twice
-    ss = minhash_sigs_and_sets(reps, k, num_perm, "txt", "id").localCheckpoint(
-        eager=True
-    )
+    ss = minhash_sigs_and_sets(
+        reps, k, num_perm, "txt", "id", passthrough=("grp", "csize")
+    ).localCheckpoint(eager=True)
     # 3+4. capped blocking + exact verify on candidates only
     handles: list = []
     rp = verify_rep_pairs(
@@ -528,37 +543,31 @@ def _minhash_rep_level(
             F.lit(None).cast("double").alias("jaccard"),
         ]
         mem = docs.select("grp", "id")
+        # eligibility and the rep-group aggregate are PROJECTIONS of the
+        # kernel checkpoint now (grp/csize ride the sig pass): the r5
+        # fused checkpoint carried them as two extra union branches, one
+        # of which re-scanned the corpus and re-aggregated (grp, id) —
+        # a full extra scan + exchange inside the construction action.
+        # Only the verified pairs and the per-doc membership still need
+        # materializing; note ss's checkpoint storage now stays alive as
+        # long as the returned elig/rg frames do (released together).
         combined = (
             rp.select(F.lit(0).alias("part"),
                       F.lit(None).cast("string").alias("grp"),
                       "id_a", "id_b", "jaccard")
             .unionByName(
-                ss.select(F.lit(1).alias("part"),
-                          F.lit(None).cast("string").alias("grp"),
-                          F.col("id").alias("id_a"), *nulls))
-            .unionByName(
                 mem.select(F.lit(2).alias("part"), "grp",
                            F.col("id").alias("id_a"), *nulls))
-            .unionByName(
-                # the (grp -> rep id, member count) aggregate, computed
-                # once here instead of twice per consuming action in the
-                # expansion (rep_map + eligibility both need it)
-                _rep_groups(mem).select(
-                    F.lit(3).alias("part"), "grp",
-                    F.col("rid").alias("id_a"),
-                    F.col("csize").alias("id_b"),
-                    F.lit(None).cast("double").alias("jaccard"))
-            )
             .transform(lambda u: _compact(u, sizer=docs.select("grp", "id")))
             .localCheckpoint(eager=True)
         )
         rep_pairs = combined.filter("part = 0").select("id_a", "id_b", "jaccard")
-        elig_ids = combined.filter("part = 1").select(F.col("id_a").alias("id"))
+        elig_ids = ss.select("id")
         members = combined.filter("part = 2").select(
             "grp", F.col("id_a").alias("id")
         )
-        rg = combined.filter("part = 3").select(
-            "grp", F.col("id_a").alias("rid"), F.col("id_b").alias("csize")
+        rg = ss.select(
+            "grp", F.col("id").alias("rid"), F.col("csize").alias("csize")
         )
     else:
         rep_pairs = rp.localCheckpoint(eager=True)
@@ -592,9 +601,10 @@ def minhash_lsh_edges(
         with_elig=True,
     )
     members = members.select("grp", "id")
-    elig_groups = rg.filter(F.col("csize") > 1).join(
-        elig_ids.select(F.col("id").alias("rid")), "rid"
-    )
+    # rg is a projection of the kernel checkpoint, whose rows are
+    # exactly the shingle-eligible representatives — the former
+    # eligibility join against elig_ids is a no-op on this path
+    elig_groups = rg.filter(F.col("csize") > 1)
     # star branch FIRST: with the checkpointed rep_pairs frame as the
     # union's left (attribute-defining) branch, this Spark's AQE fails to
     # re-plan derived localCheckpoints downstream (NoSuchElementException:
@@ -801,15 +811,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             if valid.any() and hashes.size:
                 bits = np.unpackbits(
                     hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-                ).astype(np.int32)  # (n_tokens, 64)
-                signed = 2 * bits - 1
-                # one reduceat over doc boundaries (zero-count docs are
-                # excluded from the boundary list, so segments stay exact)
+                )  # (n_tokens, 64) uint8 — stays 1 B/lane: the earlier
+                # int32 signed form moved 8x the bytes through the
+                # reduceat; popcount > n/2 is the same majority test as
+                # sign(sum of +/-1) > 0, bit-identical
+                # (zero-count docs are excluded from the boundary list,
+                # so segments stay exact)
                 starts = np.zeros(len(counts), dtype=np.int64)
                 np.cumsum(counts[:-1], out=starts[1:])
-                sums = np.add.reduceat(signed, starts[valid], axis=0)
+                sums = np.add.reduceat(bits, starts[valid], axis=0, dtype=np.int64)
                 out[valid] = np.packbits(
-                    sums > 0, axis=1, bitorder="little"
+                    2 * sums > counts[valid, None], axis=1, bitorder="little"
                 ).view(np.uint64)[:, 0]
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(), "simhash": out.view(np.int64)}
