@@ -554,14 +554,18 @@ def _minhash_rep_level(
         combined = (
             rp.select(F.lit(0).alias("part"),
                       F.lit(None).cast("string").alias("grp"),
-                      "id_a", "id_b", "jaccard")
+                      "id_a", "id_b", "jaccard", "grp_a", "grp_b")
             .unionByName(
                 mem.select(F.lit(2).alias("part"), "grp",
-                           F.col("id").alias("id_a"), *nulls))
+                           F.col("id").alias("id_a"), *nulls,
+                           F.lit(None).cast("string").alias("grp_a"),
+                           F.lit(None).cast("string").alias("grp_b")))
             .transform(lambda u: _compact(u, sizer=docs.select("grp", "id")))
             .localCheckpoint(eager=True)
         )
-        rep_pairs = combined.filter("part = 0").select("id_a", "id_b", "jaccard")
+        rep_pairs = combined.filter("part = 0").select(
+            "id_a", "id_b", "jaccard", "grp_a", "grp_b"
+        )
         elig_ids = ss.select("id")
         members = combined.filter("part = 2").select(
             "grp", F.col("id_a").alias("id")
@@ -655,17 +659,29 @@ def verify_rep_pairs(
     cand = capped_candidate_pairs(
         band_buckets(ss, bands, r), max_bucket, release=release
     )
-    sa = ss.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = ss.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    # when the sig table carries the rep-group key (grp passthrough),
+    # ride it through the verify joins so rep pairs arrive with
+    # (grp_a, grp_b) attached — the member-level expansion then needs
+    # no rep-id -> group joins at all (two broadcast builds per
+    # consuming action in the r5 plan)
+    with_grp = "grp" in ss.columns
+    sa_cols = [F.col("id").alias("id_a"), F.col("s").alias("s_a")]
+    sb_cols = [F.col("id").alias("id_b"), F.col("s").alias("s_b")]
+    out_cols = ["id_a", "id_b", F.round("jaccard", 6).alias("jaccard")]
+    if with_grp:
+        sa_cols.append(F.col("grp").alias("grp_a"))
+        sb_cols.append(F.col("grp").alias("grp_b"))
+        out_cols += ["grp_a", "grp_b"]
     inter = F.size(F.array_intersect("s_a", "s_b"))
     return (
-        F.broadcast(cand).join(sa, "id_a").join(sb, "id_b")
+        F.broadcast(cand).join(ss.select(*sa_cols), "id_a")
+        .join(ss.select(*sb_cols), "id_b")
         .withColumn(
             "jaccard",
             inter / (F.size("s_a") + F.size("s_b") - inter),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(*out_cols)
     )
 
 
@@ -706,19 +722,25 @@ def _expand_pairs(
     intra-group pairs get the exact-duplicate constant `intra_value`.
 
     members: (grp, id) — every document and its exact-dup group key;
-    rep_map: (rid, rgrp) — representative id → group key;
+    rep_map: (rid, rgrp) — representative id → group key, or None when
+             `rep_pairs` already carries (grp_a, grp_b) columns (the
+             construction attached them via the sig-table passthrough),
+             in which case the two rep-id -> group joins are skipped;
     elig:    (grp) — groups eligible for intra pairs, or None when EVERY
              group is eligible (the SimHash family: any same-fingerprint
              group of size > 1 pairs, and singleton groups emit nothing
              from a self-join anyway — skipping the eligibility join
              saves a shuffle; MinHash keeps it for the shingle-
              eligibility semantics)."""
-    pairs_g = (
-        F.broadcast(rep_pairs)
-        .join(rep_map.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
-        .join(rep_map.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
-        .select("grp_a", "grp_b", value_col)
-    )
+    if rep_map is None:
+        pairs_g = F.broadcast(rep_pairs.select("grp_a", "grp_b", value_col))
+    else:
+        pairs_g = (
+            F.broadcast(rep_pairs)
+            .join(rep_map.withColumnRenamed("rid", "id_a").withColumnRenamed("rgrp", "grp_a"), "id_a")
+            .join(rep_map.withColumnRenamed("rid", "id_b").withColumnRenamed("rgrp", "grp_b"), "id_b")
+            .select("grp_a", "grp_b", value_col)
+        )
     cross = (
         members.select(F.col("grp").alias("grp_a"), F.col("id").alias("ia"))
         .join(F.broadcast(pairs_g), "grp_a")
@@ -775,7 +797,15 @@ def expand_rep_pairs(
     members = docs.select("grp", "id")
     if rg is None:
         rg = _rep_groups(members)
-    rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
+    # rep pairs carrying (grp_a, grp_b) — attached by verify_rep_pairs
+    # from the sig-table passthrough — skip the two rep-id -> group
+    # broadcast joins; stored pair chunks from the lineage path predate
+    # the passthrough and keep the join path
+    rep_map = (
+        None
+        if {"grp_a", "grp_b"}.issubset(rep_pairs.columns)
+        else rg.select("rid", F.col("grp").alias("rgrp"))
+    )
     # intra eligibility: groups of size > 1 whose rep is shingle-eligible
     elig = rg.filter(F.col("csize") > 1).join(
         elig_ids.select(F.col(elig_ids.columns[0]).alias("rid")), "rid"
@@ -997,6 +1027,12 @@ def _simhash_rep_level(
             F.bit_count(
                 F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             ).alias("hamming"),
+            # the fingerprints ARE the group keys — keeping them on the
+            # verified pair removes the expansion's rep-id -> group
+            # joins (they are functions of the ids, so the dedup keeps
+            # a consistent value)
+            F.col("simhash_a").alias("grp_a"),
+            F.col("simhash_b").alias("grp_b"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
@@ -1006,7 +1042,7 @@ def _simhash_rep_level(
         combined = (
             rp.select(F.lit(0).alias("part"),
                       F.lit(None).cast("long").alias("grp"),
-                      "id_a", "id_b", "hamming")
+                      "id_a", "id_b", "hamming", "grp_a", "grp_b")
             .unionByName(
                 # the rep-group aggregate IS `groups` (min(id) = rid,
                 # count = csize, keyed by the fingerprint): reusing the
@@ -1018,13 +1054,15 @@ def _simhash_rep_level(
                     F.col("simhash").alias("grp"),
                     F.col("id").alias("id_a"),
                     F.col("csize").alias("id_b"),
-                    F.lit(None).cast("int").alias("hamming"))
+                    F.lit(None).cast("int").alias("hamming"),
+                    F.lit(None).cast("long").alias("grp_a"),
+                    F.lit(None).cast("long").alias("grp_b"))
             )
             .transform(lambda u: _compact(u, sizer=mem))
             .localCheckpoint(eager=True)  # rep_pairs candidate-bounded,
         )                                 # rg ~24 B/distinct fingerprint
         rep_pairs = combined.filter("part = 0").select(
-            "id_a", "id_b", "hamming"
+            "id_a", "id_b", "hamming", "grp_a", "grp_b"
         )
         rg = combined.filter("part = 1").select(
             "grp", F.col("id_a").alias("rid"), F.col("id_b").alias("csize")
@@ -1077,9 +1115,14 @@ def expand_simhash_rep_pairs(
     — the lineage resume leg, which has only stored chunks — it is
     derived here once per consuming action."""
     members = sh.select(F.col("simhash").alias("grp"), "id")
-    if rg is None:
-        rg = _rep_groups(members)
-    rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
+    # rep pairs carrying (grp_a, grp_b) — the fingerprints attached at
+    # verify time — skip the rep-id -> group joins; lineage-stored pair
+    # chunks predate the columns and keep the join path
+    if {"grp_a", "grp_b"}.issubset(rep_pairs.columns):
+        rep_map = None
+    else:
+        rg = _rep_groups(members) if rg is None else rg
+        rep_map = rg.select("rid", F.col("grp").alias("rgrp"))
     # elig=None: every same-fingerprint group is intra-eligible (see
     # _expand_pairs) — singleton groups emit nothing from the self-join
     return _expand_pairs(members, rep_map, rep_pairs, "hamming", 0, None)
