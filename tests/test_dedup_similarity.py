@@ -764,3 +764,30 @@ def test_hyperplane_default_plan_via_planner(spark, vectors):
         ).collect()
     }
     assert default and default == explicit
+
+
+def test_shingles_col_let_binding_equivalence(spark):
+    """r6: shingles_col binds the token array through a single-element
+    array transform (HOF lambdas re-evaluate captured outer expressions
+    per element). Must equal the direct formulation on every edge case:
+    null / empty / short / exactly-k / multi-space text."""
+    from pyspark.sql import functions as F
+
+    from tetrex_spark.operators.dedup import shingles_col, tokens_col
+
+    rows = [(1, None), (2, ""), (3, "one"), (4, "a b c"),
+            (5, "  x   y  "), (6, "w1 w2 w3 w4 w5 w6")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens_col("text")
+    direct = F.when(F.size(toks) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    diff = (
+        df.select(shingles_col("text", 3).alias("a"), direct.alias("b"))
+        .filter("a IS DISTINCT FROM b")
+        .count()
+    )
+    assert diff == 0

@@ -292,3 +292,28 @@ def test_anchor_rows_density_and_coords(spark):
         gram = norm[r["pos"]:r["pos"] + 16]
         h, _ = hash_char_kgrams_series(pd.Series([gram]), 16)
         assert h.view(np.int64)[0] == r["bh"]
+
+
+def test_strip_dup_spans_non_ascii_no_crash(spark):
+    """r6: span byte-offsets can split a multi-byte UTF-8 char; the strip
+    pass must survive (decode falls back to dropping orphaned bytes)
+    instead of raising UnicodeDecodeError, and ASCII docs in the same
+    corpus keep byte-exact output."""
+    from tetrex_spark.operators.substring import strip_dup_spans
+
+    shared = "x" * 45  # a 45-char ASCII span shared verbatim
+    rows = [
+        (1, shared + " worldé tail one"),
+        (2, shared + " worldü tail two"),
+        (3, "an unrelated ascii document with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in strip_dup_spans(df, min_len=40, k=16).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 (lowest id) keeps the span; doc 2 loses it; doc 3 untouched
+    assert shared in out[1]
+    assert shared not in out[2]
+    assert out[3] == rows[2][1]
+    for t in out.values():  # every result is valid text
+        t.encode()

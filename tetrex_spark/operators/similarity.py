@@ -424,9 +424,10 @@ def cosine_pairs_blocked(
     one matmul per task."""
     import math
 
-    # one materialized (id, vec) projection: the sizing count and the
-    # block packing otherwise each re-derive the input plan (two scans)
-    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    # NOT checkpointed here (unlike hyperplane_lsh_pairs, whose input is
+    # consumed three times): the sizing count and the packing pass are
+    # the only two consumers, and an A/B showed the materialization
+    # costs more than the second scan it saves on this path
     n = df.count()
     nblocks = max(1, math.ceil(n / block))
     blocks = _pack_blocks(df, nblocks, vec_col=vec_col, id_col=id_col)
