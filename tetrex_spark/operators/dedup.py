@@ -267,9 +267,25 @@ def minhash_sigs_and_sets(
     return _spread(df.select(*cols)).mapInPandas(fn, schema)
 
 
+def band_hashes_col(bands: int, r: int, sig_col: str = "sig"):
+    """array<long> of the `bands` band-bucket keys of a signature column
+    — element b = xxhash64 of the band's signature slice. Precomputing
+    this ONCE into a materialized sig table replaces the 128-long
+    signature with `bands` longs (4x smaller checkpoint rows) and every
+    downstream band_buckets read explodes stored values instead of
+    re-hashing slices per consumer."""
+    return F.array(
+        *[F.xxhash64(F.slice(sig_col, b * r + 1, r)) for b in range(bands)]
+    )
+
+
 def band_buckets(sig_df: DataFrame, bands: int, r: int) -> DataFrame:
     """(id, band, bh) rows from a signature table — one row per (doc, band),
-    bucket key = xxhash64 of the band's signature slice (JVM-side)."""
+    bucket key = xxhash64 of the band's signature slice (JVM-side). A
+    table carrying a precomputed `bhs` column (see band_hashes_col) is
+    exploded directly — same values, no per-read hashing."""
+    if "bhs" in sig_df.columns:
+        return sig_df.select("id", F.posexplode("bhs").alias("band", "bh"))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -528,9 +544,17 @@ def _minhash_rep_level(
     # 2. one fused kernel pass, checkpointed — every downstream branch
     # (buckets, both verify sides, eligibility) reads the materialized
     # table; the tokenize/hash kernel cannot run twice
-    ss = minhash_sigs_and_sets(
-        reps, k, num_perm, "txt", "id", passthrough=("grp", "csize")
-    ).localCheckpoint(eager=True)
+    # the checkpoint stores the `bands` band-bucket keys instead of the
+    # num_perm-long signature (4x smaller rows — the signature has no
+    # other consumer on this path) and every blocking read explodes
+    # stored values instead of re-hashing slices per consumer
+    ss = (
+        minhash_sigs_and_sets(
+            reps, k, num_perm, "txt", "id", passthrough=("grp", "csize")
+        )
+        .select("id", "s", "grp", "csize", band_hashes_col(bands, r).alias("bhs"))
+        .localCheckpoint(eager=True)
+    )
     # 3+4. capped blocking + exact verify on candidates only
     handles: list = []
     rp = verify_rep_pairs(

@@ -349,12 +349,18 @@ def build_neardup_index(
         )
         .drop("__dk")
     )
-    ss = minhash_sigs_and_sets(
-        reps, k, num_perm, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)  # ONE kernel pass: the buckets write
-    # (and its over-cap anti-join branch), the sets write, and the
-    # over.count() all read this, and each would re-run the Arrow
-    # sign+set pass otherwise
+    from .dedup import band_hashes_col
+
+    ss = (
+        minhash_sigs_and_sets(
+            reps, k, num_perm, text_col=text_col, id_col=id_col
+        )
+        .select("id", "s", band_hashes_col(bands, r).alias("bhs"))
+        .localCheckpoint(eager=True)
+    )  # ONE kernel pass: the buckets write (and its over-cap anti-join
+    # branch), the sets write, and the over.count() all read this, and
+    # each would re-run the Arrow sign+set pass otherwise; the
+    # checkpoint stores the band keys, not the 4x-larger signature
     n_reps = ss.count()  # cache read; reused for the params stat below
     if n_shards is None:
         # scale-adaptive sharding (n_shards=None, the default): target
@@ -450,10 +456,17 @@ def incremental_neardup_pairs(
     bands, r = int(params["bands"]), int(params["num_perm"]) // int(params["bands"])
     n_shards, threshold = int(params["n_shards"]), float(params["threshold"])
 
-    inc_ss = minhash_sigs_and_sets(
-        increment, int(params["k"]), int(params["num_perm"]),
-        text_col=text_col, id_col=id_col,
-    ).localCheckpoint(eager=True)  # one kernel pass; blocking + verify reuse
+    from .dedup import band_hashes_col
+
+    inc_ss = (
+        minhash_sigs_and_sets(
+            increment, int(params["k"]), int(params["num_perm"]),
+            text_col=text_col, id_col=id_col,
+        )
+        .select("id", "s", band_hashes_col(bands, r).alias("bhs"))
+        .localCheckpoint(eager=True)
+    )  # one kernel pass; blocking + verify reuse (band keys stored,
+    # not the 4x-larger signature)
     inc_b = band_buckets(inc_ss, bands, r).withColumn(
         "shard", _sshard(F.col("bh"), n_shards)
     )

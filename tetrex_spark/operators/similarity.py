@@ -715,12 +715,10 @@ def lsh_buckets(
     # appends per column, which dominated the pass wall time.
     planes_flat = planes.reshape(n_bands * n_planes, dim)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
-    bands_arr = np.arange(n_bands, dtype=np.int32)
     schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
-            T.StructField("band", T.IntegerType(), False),
-            T.StructField("bh", T.LongType(), False),
+            T.StructField("bhs", T.ArrayType(T.LongType(), False), False),
         ]
     )
 
@@ -733,12 +731,14 @@ def lsh_buckets(
             n = len(ids)
             bits = (M @ planes_flat.T) > 0  # (n, n_bands*n_planes)
             sig = bits.reshape(n, n_bands, n_planes) @ weights  # (n, bands)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(ids, n_bands),
-                    "band": np.tile(bands_arr, n),
-                    "bh": sig.reshape(-1),
-                }
-            )
+            # one Arrow row per VECTOR (band index = array position):
+            # the (id, band, bh) long form crossed the Python boundary
+            # as n_bands x n rows; the JVM-side posexplode below emits
+            # the identical bucket rows from n-row batches
+            yield pd.DataFrame({"id": ids, "bhs": list(sig)})
 
-    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(fn, schema)
+        .select("id", F.posexplode("bhs").alias("band", "bh"))
+    )
