@@ -487,8 +487,9 @@ def main(argv: list[str] | None = None) -> int:
     pq = sub.add_parser("query")
     pq.add_argument("--index", required=True)
     pq.add_argument("--corpus", required=True)
-    pq.add_argument("--regex")
-    pq.add_argument("--regex-file")
+    pq_src = pq.add_mutually_exclusive_group(required=True)
+    pq_src.add_argument("--regex")
+    pq_src.add_argument("--regex-file")
     pq.add_argument("--syntax", choices=["posix", "prosite"], default="posix")
     pq.add_argument("--output")
     pq.set_defaults(fn=cmd_query)

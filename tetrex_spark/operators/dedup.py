@@ -316,7 +316,13 @@ def capped_candidate_pairs(
     the band count; that family keeps the broadcast-join verify.)
     `distinct=False` skips the candidate dedup so a caller with a
     highly selective verify filter can dedup AFTER it, shuffling only
-    surviving pairs.
+    surviving pairs. REQUIREMENT when payload_col is combined with
+    distinct=True: the payload must be a FUNCTION OF THE IDS (one value
+    per id, like the simhash fingerprint) — dropDuplicates keeps one
+    arbitrary row per (id_a, id_b), so a many-valued payload (e.g. the
+    substring family's per-anchor positions) would silently lose rows;
+    such callers must pass distinct=False (as the substring family
+    does).
 
     The cap bounds the self-join at B buckets x max_bucket^2 pairs instead
     of the unbounded sum of bucket-size squares (one pathological bucket of
@@ -420,7 +426,8 @@ def capped_candidate_pairs(
         & (F.col("x.id") < F.col("y.id")),
     ).select(*cols)
     if distinct:
-        # payload columns are functions of the ids — dedup on ids only
+        # payload columns must be functions of the ids here (see the
+        # docstring REQUIREMENT) — dedup on ids only
         cand = (
             cand.dropDuplicates(["id_a", "id_b"]) if payload_col
             else cand.distinct()
